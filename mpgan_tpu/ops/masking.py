@@ -1,0 +1,73 @@
+"""Variable-cardinality masking utilities.
+
+Particle clouds are padded to a fixed N; a per-particle mask distinguishes real
+from padded particles. Conventions follow the reference:
+
+- masks are 1.0 (real) / 0.0 (padded) tensors of shape ``[B, N, 1]``,
+- generators append the mask to the feature axis encoded as ``mask - 0.5``
+  (mpgan/model.py:752), discriminators recover it with ``+ 0.5``
+  (mpgan/model.py:881).
+
+All ops are static-shape and jit-friendly (the argsort-rank trick replaces any
+data-dependent gather).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def counts_from_labels(labels: jax.Array, num_particles: int) -> jax.Array:
+    """Unnormalize the last jet label (num_particles / N, in (0, 1]) to an
+    integer count-minus-one in [0, N-1] (mpgan/model.py:692).
+
+    Truncation mirrors torch's ``.int()`` (rounds toward zero).
+    """
+    return (labels[:, -1] * num_particles).astype(jnp.int32) - 1
+
+
+def mask_from_counts(x_sort_feature: jax.Array, num_jet_particles: jax.Array) -> jax.Array:
+    """The ``mask_c`` assignment (mpgan/model.py:695-699).
+
+    Ranks particles by ``x_sort_feature`` (``[B, N]``, typically the first
+    noise feature) via a double argsort; particles with rank <=
+    ``num_jet_particles`` (``[B]``, count minus one) get mask 1, the rest 0.
+
+    Returns a float mask of shape ``[B, N, 1]``.
+    """
+    ranks = jnp.argsort(jnp.argsort(x_sort_feature, axis=1), axis=1)
+    mask = ranks <= num_jet_particles[:, None]
+    return mask[..., None].astype(x_sort_feature.dtype)
+
+
+def mask_manual(
+    gen_data: jax.Array,
+    pt_cutoff: float,
+    *,
+    mask_exp: bool = False,
+    mask_real_only: bool = False,
+) -> jax.Array:
+    """Post-generation pT-cutoff mask (mpgan/mask_utils.py:5-24).
+
+    Appends a ``mask - 0.5`` feature: binary (pT > cutoff), exponentially
+    decaying below the cutoff if ``mask_exp``, or all-ones if
+    ``mask_real_only``.
+    """
+    if mask_real_only:
+        mask = jnp.ones(gen_data.shape[:2] + (1,), gen_data.dtype) - 0.5
+    elif mask_exp:
+        pts = gen_data[:, :, 2:3]
+        upper = (pts > pt_cutoff).astype(gen_data.dtype)
+        lower = 1.0 - upper
+        exp = jnp.exp((pts - pt_cutoff) / abs(pt_cutoff))
+        mask = upper + lower * exp - 0.5
+    else:
+        mask = (gen_data[:, :, 2:3] > pt_cutoff).astype(gen_data.dtype) - 0.5
+    return jnp.concatenate([gen_data, mask], axis=2)
+
+
+def split_mask(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Discriminator-side mask recovery: last feature + 0.5 is the mask
+    (mpgan/model.py:874-884). Returns ``(features, mask)``."""
+    return x[:, :, :-1], x[:, :, -1:] + 0.5

@@ -1,0 +1,243 @@
+"""Dense message passing over particle clouds.
+
+Re-implements the reference ``MPLayer`` (mpgan/model.py:91-384) functionally:
+one message-passing iteration builds the pairwise tensor
+``A[b, i, j] = [x_i  (+)  x_j  (+) optional edge features]``, runs the edge MLP
+``fe``, masks out padded senders, aggregates over senders (sum or mean),
+concatenates the aggregate with the node features and runs the node MLP ``fn``.
+
+TPU-first design notes:
+
+- the pairwise tensor is built by broadcasting (``[B, N, 1, F]`` against
+  ``[B, 1, N, F]``) — no ``repeat``/``view`` reshuffles; XLA fuses the
+  concatenation into the first ``fe`` matmul,
+- knn sparsification uses a static top-k over the dense distance matrix
+  (argsort + take_along_axis), mirroring the reference's sort-and-gather
+  (mpgan/model.py:347-372) in static shapes,
+- a fused Pallas kernel path (mpgan_tpu/ops/mp_pallas.py) avoids
+  materializing the ``[B, N, N, fe_out]`` activation in HBM.
+
+Known reference defect deliberately fixed here: the reference tiles
+conditioning labels with ``Tensor.repeat`` into a batch-major flattened pairwise
+tensor (mpgan/model.py:249-253, 272-276), which cycles labels *tile-major* and
+scrambles them across the batch whenever ``clabels`` or ``mask_fne_np`` are
+used with batch size > 1. We broadcast the labels per batch element instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .linear import MLPConfig, mlp_apply, mlp_init
+
+
+@dataclasses.dataclass(frozen=True)
+class MPLayerConfig:
+    """Static config for one message-passing iteration.
+
+    Mirrors the reference ``MPLayer.__init__`` arguments
+    (mpgan/model.py:129-204)."""
+
+    input_node_size: int
+    output_node_size: int
+    fe: MLPConfig
+    fn: MLPConfig
+    pos_diffs: bool = False
+    all_ef: bool = True
+    coords: str = "polarrel"
+    delta_coords: bool = False
+    delta_r: bool = True
+    clabels: int = 0
+    mask_fne_np: bool = False
+    fully_connected: bool = True
+    num_knn: int = 20
+    self_loops: bool = True
+    sum_agg: bool = True
+
+    @property
+    def num_coords(self) -> int:
+        return 3 if self.coords == "cartesian" else 2
+
+    @property
+    def num_ef(self) -> int:
+        n = 0
+        if self.pos_diffs:
+            if self.delta_coords:
+                n += self.num_coords
+            if self.delta_r or self.all_ef:
+                n += 1
+        return n
+
+    @staticmethod
+    def build(
+        input_node_size: int,
+        fe_layers: list[int],
+        fn_layers: list[int],
+        output_node_size: int,
+        linear_args: dict[str, Any] | None = None,
+        **mp_args: Any,
+    ) -> "MPLayerConfig":
+        """Assemble fe/fn MLP configs the way the reference does
+        (mpgan/model.py:183-204): fe input is
+        ``2 * node + num_ef + clabels + mask_fne_np``; fn input is
+        ``fe_out + node + clabels + mask_fne_np`` with a linear final layer."""
+        linear_args = dict(linear_args or {})
+        cfg = MPLayerConfig(
+            input_node_size=input_node_size,
+            output_node_size=output_node_size,
+            fe=MLPConfig(sizes=()),
+            fn=MLPConfig(sizes=()),
+            **mp_args,
+        )
+        fe_in = 2 * input_node_size + cfg.num_ef + cfg.clabels + int(cfg.mask_fne_np)
+        fe = MLPConfig.build(fe_layers, input_size=fe_in, final_linear=False, **linear_args)
+        fn_in = fe_layers[-1] + input_node_size + cfg.clabels + int(cfg.mask_fne_np)
+        fn = MLPConfig.build(
+            fn_layers, input_size=fn_in, output_size=output_node_size,
+            final_linear=True, **linear_args,
+        )
+        return dataclasses.replace(cfg, fe=fe, fn=fn)
+
+
+def mp_layer_init(rng: jax.Array, cfg: MPLayerConfig, dtype=jnp.float32):
+    fe_key, fn_key = jax.random.split(rng)
+    fe_params, fe_state = mlp_init(fe_key, cfg.fe, dtype)
+    fn_params, fn_state = mlp_init(fn_key, cfg.fn, dtype)
+    return {"fe": fe_params, "fn": fn_params}, {"fe": fe_state, "fn": fn_state}
+
+
+def _pairwise_fully_connected(cfg: MPLayerConfig, x: jax.Array) -> jax.Array:
+    """``A[b, i, j] = [x_i, x_j (, dist features)]`` (mpgan/model.py:284-317)."""
+    n = x.shape[1]
+    x1 = jnp.broadcast_to(x[:, :, None, :], x.shape[:1] + (n, n, x.shape[-1]))
+    x2 = jnp.broadcast_to(x[:, None, :, :], x.shape[:1] + (n, n, x.shape[-1]))
+    parts = [x1, x2]
+    if cfg.pos_diffs:
+        if cfg.all_ef:
+            diffs = x2 - x1
+        else:
+            diffs = x2[..., : cfg.num_coords] - x1[..., : cfg.num_coords]
+        # the reference adds 1e-12 to each diff component before the norm
+        # (mpgan/model.py:304) — reproduced for bit-parity
+        dists = jnp.linalg.norm(diffs + 1e-12, axis=-1, keepdims=True)
+        if cfg.delta_r and cfg.delta_coords:
+            parts = [x1, x2, diffs, dists]
+        elif cfg.delta_r or cfg.all_ef:
+            parts = [x1, x2, dists]
+        elif cfg.delta_coords:
+            parts = [x1, x2, diffs]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _pairwise_knn(
+    cfg: MPLayerConfig, x: jax.Array, mask: jax.Array | None
+) -> tuple[jax.Array, jax.Array | None]:
+    """Static-shape k-nearest-neighbour edge tensor (mpgan/model.py:319-381).
+
+    Masked particles are pushed far away with the reference's ``mul = 1e4``
+    trick (mpgan/model.py:332-334) so they are never selected as neighbours.
+    Returns ``(A, A_mask)`` with ``A: [B, N, k, fe_base]`` and ``A_mask`` the
+    gathered sender masks ``[B, N, k, 1]`` (None if ``mask`` is None).
+    """
+    b, n, ns = x.shape
+    if mask is not None:
+        mul = 1e4
+        x_far = ((1 - mul) * mask + mul) * x
+    else:
+        x_far = x
+    x1 = x[:, :, None, :]
+    x2 = x_far[:, None, :, :]
+    if cfg.all_ef or not cfg.pos_diffs:
+        diffs = x2 - x1
+    else:
+        diffs = x2[..., : cfg.num_coords] - x1[..., : cfg.num_coords]
+    dists = jnp.linalg.norm(diffs + 1e-12, axis=-1)  # [B, N, N]
+
+    start = 0 if cfg.self_loops else 1
+    order = jnp.argsort(dists, axis=2)
+    idx = order[:, :, start : cfg.num_knn + start]  # [B, N, k]
+    knn_dists = jnp.take_along_axis(dists, idx, axis=2)[..., None]
+
+    # gather neighbour features: idx broadcast over feature dim
+    x2_knn = jnp.take_along_axis(
+        x[:, None, :, :].repeat(n, axis=1), idx[..., None].repeat(ns, axis=-1), axis=2
+    )
+    a_mask = None
+    if mask is not None:
+        a_mask = jnp.take_along_axis(
+            mask[:, None, :, :].repeat(n, axis=1), idx[..., None], axis=2
+        )
+    x1_knn = jnp.broadcast_to(x[:, :, None, :], (b, n, cfg.num_knn, ns))
+
+    if cfg.pos_diffs:
+        a = jnp.concatenate([x1_knn, x2_knn, knn_dists], axis=-1)
+    else:
+        a = jnp.concatenate([x1_knn, x2_knn], axis=-1)
+    return a, a_mask
+
+
+def _append_cond(cfg: MPLayerConfig, t: jax.Array, labels, num_jet_particles) -> jax.Array:
+    """Broadcast conditioning labels / particle counts onto the trailing axis."""
+    parts = [t]
+    extra_dims = t.ndim - 2
+    if cfg.clabels:
+        lab = labels[:, : cfg.clabels].astype(t.dtype)
+        lab = lab.reshape(lab.shape[:1] + (1,) * extra_dims + lab.shape[1:])
+        parts.append(jnp.broadcast_to(lab, t.shape[:-1] + (cfg.clabels,)))
+    if cfg.mask_fne_np:
+        njp = num_jet_particles.astype(t.dtype).reshape((-1,) + (1,) * (t.ndim - 1))
+        parts.append(jnp.broadcast_to(njp, t.shape[:-1] + (1,)))
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else t
+
+
+def mp_layer_apply(
+    cfg: MPLayerConfig,
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    *,
+    mask: jax.Array | None = None,
+    labels: jax.Array | None = None,
+    num_jet_particles: jax.Array | None = None,
+    train: bool = False,
+    rng: jax.Array | None = None,
+    update_sn: bool = True,
+) -> tuple[jax.Array, dict]:
+    """One message-passing iteration (mpgan/model.py:206-282).
+
+    ``x: [B, N, input_node_size]`` -> ``[B, N, output_node_size]``.
+    """
+    fe_rng = fn_rng = None
+    if rng is not None:
+        fe_rng, fn_rng = jax.random.split(rng)
+
+    if cfg.fully_connected:
+        a = _pairwise_fully_connected(cfg, x)  # [B, N, N, fe_base]
+        a_mask = None
+    else:
+        a, a_mask = _pairwise_knn(cfg, x, mask)  # [B, N, k, fe_base]
+
+    a = _append_cond(cfg, a, labels, num_jet_particles)
+
+    a, fe_state = mlp_apply(
+        cfg.fe, params["fe"], state["fe"], a, train=train, rng=fe_rng, update_sn=update_sn
+    )
+
+    if mask is not None:
+        if cfg.fully_connected:
+            a = a * mask[:, None, :, :]  # mask senders (mpgan/model.py:262)
+        else:
+            a = a * a_mask
+
+    agg = jnp.sum(a, axis=2) if cfg.sum_agg else jnp.mean(a, axis=2)
+
+    h = jnp.concatenate([agg, x], axis=-1)
+    h = _append_cond(cfg, h, labels, num_jet_particles)
+    y, fn_state = mlp_apply(
+        cfg.fn, params["fn"], state["fn"], h, train=train, rng=fn_rng, update_sn=update_sn
+    )
+    return y, {"fe": fe_state, "fn": fn_state}

@@ -1,0 +1,105 @@
+"""Unit tests for the functional NN core: MLP semantics, spectral norm,
+masking — each checked for parity against the reference torch modules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpgan_tpu.ops.linear import MLPConfig, mlp_apply, mlp_init
+from mpgan_tpu.ops.masking import counts_from_labels, mask_from_counts
+from mpgan_tpu.ops.spectral_norm import spectral_normalize
+from mpgan_tpu.utils.torch_import import mlp_from_torch
+
+
+def test_mlp_shapes_and_final_linear():
+    cfg = MLPConfig.build([64], input_size=16, output_size=8, final_linear=True)
+    params, state = mlp_init(jax.random.PRNGKey(0), cfg)
+    y, _ = mlp_apply(cfg, params, state, jnp.ones((4, 16)))
+    assert y.shape == (4, 8)
+    # final-linear output is unbounded (no activation applied)
+    cfg2 = MLPConfig.build([64], input_size=16, output_size=8, final_linear=False)
+    params2, state2 = mlp_init(jax.random.PRNGKey(0), cfg2)
+    y2, _ = mlp_apply(cfg2, params2, state2, -jnp.ones((4, 16)) * 100)
+    # leaky relu with alpha=0.2: strongly negative pre-activations shrink 5x
+    assert jnp.all(y2 > -1e4)
+
+
+def test_mlp_matches_reference_linearnet(reference_path, torch):
+    from mpgan.model import LinearNet  # reference module, imported for parity only
+
+    torch.manual_seed(0)
+    net = LinearNet([32, 64], input_size=10, output_size=5, final_linear=True).eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    cfg = MLPConfig.build([32, 64], input_size=10, output_size=5, final_linear=True)
+    params, state = mlp_from_torch(sd, "", cfg)
+
+    x = np.random.RandomState(1).randn(7, 10).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    ours, _ = mlp_apply(cfg, params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mlp_spectral_norm_matches_reference(reference_path, torch):
+    from mpgan.model import LinearNet
+
+    torch.manual_seed(0)
+    net = LinearNet([16], input_size=8, output_size=4, final_linear=True, spectral_norm=True)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    cfg = MLPConfig.build([16], input_size=8, output_size=4, final_linear=True, spectral_norm=True)
+    params, state = mlp_from_torch(sd, "", cfg)
+
+    x = np.random.RandomState(2).randn(5, 8).astype(np.float32)
+    # the torch module advances u/v in-place on every forward; ours returns new state
+    with torch.no_grad():
+        ref1 = net(torch.from_numpy(x)).numpy()
+        ref2 = net(torch.from_numpy(x)).numpy()
+    ours1, state1 = mlp_apply(cfg, params, state, jnp.asarray(x))
+    ours2, _ = mlp_apply(cfg, params, state1, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours1), ref1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours2), ref2, rtol=1e-4, atol=1e-5)
+    # power iteration actually advanced
+    assert not np.allclose(np.asarray(ours1), np.asarray(ours2))
+
+
+def test_spectral_normalize_sigma():
+    # sigma estimate converges to the true top singular value
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(12, 20).astype(np.float32))
+    u = jnp.asarray(rng.randn(12).astype(np.float32))
+    u = u / jnp.linalg.norm(u)
+    w_sn, u, v = spectral_normalize(w, u, power_iterations=50)
+    top_sv = np.linalg.svd(np.asarray(w), compute_uv=False)[0]
+    est = float(u @ (w @ v))
+    assert abs(est - top_sv) / top_sv < 1e-4
+    assert np.linalg.svd(np.asarray(w_sn), compute_uv=False)[0] == pytest.approx(1.0, rel=1e-4)
+
+
+def test_mask_from_counts_matches_reference_trick(torch):
+    # the argsort-rank trick (mpgan/model.py:695-699) against a torch oracle
+    rng = np.random.RandomState(3)
+    x0 = rng.randn(6, 30).astype(np.float32)
+    labels = rng.randint(1, 31, size=(6,)).astype(np.float32) / 30.0
+    njp = counts_from_labels(jnp.asarray(labels)[:, None], 30)
+    ours = np.asarray(mask_from_counts(jnp.asarray(x0), njp))[:, :, 0]
+
+    t = torch.from_numpy(x0)
+    t_njp = (torch.from_numpy(labels) * 30).int() - 1
+    ref = (t.argsort(1).argsort(1) <= t_njp.unsqueeze(1)).float().numpy()
+    np.testing.assert_array_equal(ours, ref)
+    # each jet has exactly count real particles
+    np.testing.assert_array_equal(ours.sum(1), (labels * 30).astype(np.int32))
+
+
+def test_mlp_dropout_and_bn():
+    cfg = MLPConfig.build([32], input_size=8, output_size=4, dropout_p=0.5, batch_norm=True)
+    params, state = mlp_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    y_train, new_state = mlp_apply(cfg, params, state, x, train=True, rng=jax.random.PRNGKey(2))
+    y_eval, _ = mlp_apply(cfg, params, new_state, x, train=False)
+    assert y_train.shape == y_eval.shape == (16, 4)
+    # bn running stats moved
+    assert not np.allclose(
+        np.asarray(state["bn"][0]["mean"]), np.asarray(new_state["bn"][0]["mean"])
+    )
