@@ -1,0 +1,161 @@
+"""Train-step tests: optimizer parity vs torch, end-to-end D/G updates, and
+the multi-device data-parallel path on a virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from mpgan_tpu.models.mpgan import (
+    MaskConfig,
+    MPGeneratorConfig,
+    MPDiscriminatorConfig,
+    mp_discriminator_apply,
+    mp_discriminator_init,
+    mp_generator_apply,
+    mp_generator_init,
+)
+from mpgan_tpu.parallel.mesh import jit_step, make_mesh
+from mpgan_tpu.training.optimizers import adadelta_torch, adam_torch, build_optimizer, rmsprop_torch
+from mpgan_tpu.training.sampling import NoiseSpec, generate_multi_batch
+from mpgan_tpu.training.train_step import StepConfig, TrainState, init_train_state, make_train_steps
+
+
+def _opt_parity(torch, make_ours, make_theirs, steps=5):
+    w0 = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = make_theirs([tw])
+
+    ours = jnp.asarray(w0)
+    opt = make_ours()
+    opt_state = opt.init(ours)
+
+    for i in range(steps):
+        g = np.random.RandomState(i + 1).randn(4, 3).astype(np.float32)
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+        updates, opt_state = opt.update(jnp.asarray(g), opt_state, ours)
+        ours = optax.apply_updates(ours, updates)
+        np.testing.assert_allclose(np.asarray(ours), tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_rmsprop_matches_torch(torch):
+    _opt_parity(torch, lambda: rmsprop_torch(1e-3), lambda p: torch.optim.RMSprop(p, lr=1e-3))
+
+
+def test_adadelta_matches_torch(torch):
+    _opt_parity(torch, lambda: adadelta_torch(0.5), lambda p: torch.optim.Adadelta(p, lr=0.5))
+
+
+def test_adam_l2_matches_torch(torch):
+    _opt_parity(
+        torch,
+        lambda: adam_torch(1e-3, beta1=0.9, beta2=0.999, weight_decay=5e-4),
+        lambda p: torch.optim.Adam(p, lr=1e-3, weight_decay=5e-4, betas=(0.9, 0.999)),
+    )
+
+
+def _tiny_gan(n=10, feat=3, hidden=8, dropout=0.0, loss="ls"):
+    mask = MaskConfig(mask_c=True)
+    g_cfg = MPGeneratorConfig.build(
+        num_particles=n, input_node_size=hidden, output_node_size=feat,
+        mp_iters=2, fe_layers=[12], fn_layers=[16], hidden_node_size=hidden,
+        mask=mask, linear_args={"dropout_p": dropout},
+    )
+    d_cfg = MPDiscriminatorConfig.build(
+        num_particles=n, input_node_size=feat, mp_iters=2,
+        fe_layers=[12], fn_layers=[16], hidden_node_size=hidden,
+        final_activation="" if loss in ("w", "hinge") else "sigmoid",
+        mask=mask, linear_args={"dropout_p": dropout},
+    )
+    return g_cfg, d_cfg
+
+
+def _make_everything(loss="ls", gp=0.0, dropout=0.5, n=10, hidden=8):
+    g_cfg, d_cfg = _tiny_gan(n=n, hidden=hidden, dropout=dropout, loss=loss)
+    spec = NoiseSpec((n, hidden), 0.2)
+    g_opt = build_optimizer("rmsprop", 1e-4)
+    d_opt = build_optimizer("rmsprop", 3e-4)
+    state = init_train_state(
+        jax.random.PRNGKey(0), mp_generator_init, mp_discriminator_init,
+        g_cfg, d_cfg, g_opt, d_opt,
+    )
+    d_step, g_step = make_train_steps(
+        step_cfg=StepConfig(loss=loss, gp_lambda=gp),
+        g_apply=mp_generator_apply, d_apply=mp_discriminator_apply,
+        g_cfg=g_cfg, d_cfg=d_cfg, spec=spec, g_opt=g_opt, d_opt=d_opt,
+    )
+    return state, d_step, g_step, n
+
+
+def _fake_batch(rng, batch, n):
+    data = np.tanh(rng.randn(batch, n, 3)).astype(np.float32)
+    counts = rng.randint(1, n + 1, size=batch)
+    mask = (np.arange(n)[None, :] < counts[:, None]).astype(np.float32)[..., None]
+    data = np.concatenate([data * mask, mask - 0.5], axis=2)
+    labels = (counts / n)[:, None].astype(np.float32)
+    return jnp.asarray(data), jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("loss,gp", [("ls", 0.0), ("og", 0.0), ("hinge", 0.0), ("w", 10.0)])
+def test_train_steps_run(loss, gp):
+    state, d_step, g_step, n = _make_everything(loss=loss, gp=gp)
+    data, labels = _fake_batch(np.random.RandomState(0), 8, n)
+    d_step = jax.jit(d_step)
+    g_step = jax.jit(g_step)
+    g0 = state.g_params["mp_layers"][0]["fe"]["layers"][0]["w"]
+    d0 = state.d_params["mp_layers"][0]["fe"]["layers"][0]["w"]
+    for _ in range(3):
+        state, d_metrics = d_step(state, data, labels)
+        state, g_metrics = g_step(state, data, labels)
+    assert np.isfinite(float(d_metrics["D"]))
+    assert np.isfinite(float(g_metrics["G"]))
+    if gp:
+        assert np.isfinite(float(d_metrics["gp"]))
+    assert not np.allclose(np.asarray(g0), np.asarray(state.g_params["mp_layers"][0]["fe"]["layers"][0]["w"]))
+    assert not np.allclose(np.asarray(d0), np.asarray(state.d_params["mp_layers"][0]["fe"]["layers"][0]["w"]))
+
+
+def test_train_step_multichip_mesh():
+    """Data-parallel D+G step over an 8-device mesh (replaces DataParallel,
+    SURVEY.md C27)."""
+    assert jax.device_count() >= 8, "conftest should provide 8 virtual CPU devices"
+    mesh = make_mesh(8)
+    state, d_step, g_step, n = _make_everything(dropout=0.0)
+    d_step_j = jit_step(d_step, mesh, num_batch_args=2)
+    g_step_j = jit_step(g_step, mesh, num_batch_args=2)
+    data, labels = _fake_batch(np.random.RandomState(1), 16, n)
+    state, d_metrics = d_step_j(state, data, labels)
+    state, g_metrics = g_step_j(state, data, labels)
+    assert np.isfinite(float(d_metrics["D"]))
+    assert np.isfinite(float(g_metrics["G"]))
+
+
+def test_single_vs_multichip_same_result():
+    """The sharded step computes the same update as the single-device step."""
+    state, d_step, g_step, n = _make_everything(dropout=0.0)
+    data, labels = _fake_batch(np.random.RandomState(2), 16, n)
+
+    s1, m1 = jax.jit(d_step)(state, data, labels)
+    mesh = make_mesh(8)
+    s8, m8 = jit_step(d_step, mesh, num_batch_args=2, donate_state=False)(state, data, labels)
+    np.testing.assert_allclose(float(m1["D"]), float(m8["D"]), rtol=1e-5)
+    w1 = np.asarray(s1.d_params["mp_layers"][0]["fe"]["layers"][0]["w"])
+    w8 = np.asarray(s8.d_params["mp_layers"][0]["fe"]["layers"][0]["w"])
+    np.testing.assert_allclose(w1, w8, rtol=1e-4, atol=1e-6)
+
+
+def test_generate_multi_batch():
+    g_cfg, _ = _tiny_gan()
+    params, g_state = mp_generator_init(jax.random.PRNGKey(0), g_cfg)
+    spec = NoiseSpec((10, 8), 0.2)
+    labels = (np.random.RandomState(0).randint(1, 11, size=25) / 10)[:, None].astype(np.float32)
+    out = generate_multi_batch(
+        mp_generator_apply, g_cfg, params, g_state, spec,
+        jax.random.PRNGKey(1), 25, 8, labels=labels,
+    )
+    assert out.shape == (25, 10, 4)
+    # generated mask multiplicity matches the conditioning labels
+    np.testing.assert_array_equal((out[:, :, -1] > 0).sum(1), (labels[:, 0] * 10).astype(int))
