@@ -1,0 +1,152 @@
+"""Energy Flow Polynomials, computed natively.
+
+EFPs (Komiske-Metodiev-Thaler, arXiv:1712.07124) index jets by connected
+multigraphs: for a multigraph G with edges E,
+
+    EFP_G = sum_{i_1..i_V} prod_v z_{i_v} prod_{(a,b) in E} theta_{i_a i_b}
+
+with the hadronic measure ``z_i = pT_i / sum pT`` (normed) and angles
+``theta_ij = (d_eta^2 + d_phi^2)^(beta/2)``, beta = 1 — matching how the
+jetnet library configures energyflow for its ``efps``/``w1efp``/``fpd``
+metrics (used by the reference at train.py:583-593, 744-757).
+
+Instead of energyflow's C extension we enumerate the multigraphs directly
+(isomorphism-canonicalized; 1/2/5/12 prime EFPs at degree 1/2/3/4) and
+evaluate each as a batched ``einsum`` over the per-jet angle matrix — XLA/BLAS
+contracts these at O(B N^3) for every graph with <= 4 edges.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from itertools import combinations_with_replacement, permutations
+
+import numpy as np
+
+Edge = tuple[int, int]
+Graph = tuple[Edge, ...]
+
+
+def _canonical(edges: Graph) -> Graph:
+    verts = sorted({v for e in edges for v in e})
+    relabel = {v: i for i, v in enumerate(verts)}
+    edges = [(relabel[a], relabel[b]) for a, b in edges]
+    n = len(verts)
+    best = None
+    for perm in permutations(range(n)):
+        mapped = tuple(sorted(tuple(sorted((perm[a], perm[b]))) for a, b in edges))
+        if best is None or mapped < best:
+            best = mapped
+    return best
+
+
+def _connected(edges: Graph) -> bool:
+    verts = {v for e in edges for v in e}
+    adj: dict[int, set[int]] = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen = {next(iter(verts))}
+    stack = list(seen)
+    while stack:
+        for nb in adj[stack.pop()]:
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    return seen == verts
+
+
+@lru_cache(maxsize=None)
+def efp_multigraphs(max_d: int = 4) -> tuple[Graph, ...]:
+    """All connected multigraphs (no self-loops) with 1..max_d edges, i.e.
+    the prime EFPs of degree <= max_d, in (degree, canonical) order."""
+    graphs: list[Graph] = []
+    for d in range(1, max_d + 1):
+        pairs = [(a, b) for a in range(d + 1) for b in range(a + 1, d + 1)]
+        seen: set[Graph] = set()
+        for combo in combinations_with_replacement(pairs, d):
+            if not _connected(combo):
+                continue
+            canon = _canonical(combo)
+            if canon not in seen:
+                seen.add(canon)
+        graphs.extend(sorted(seen))
+    return tuple(graphs)
+
+
+def _select_graphs(select: str) -> tuple[Graph, ...]:
+    """``"d<=4"``: all 20 prime EFPs of degree <= 4 (the reference's FPD
+    feature set, train.py:750-755). ``"n4d4"``: the 5 with exactly 4 vertices
+    and 4 edges (jetnet's w1efp set)."""
+    if select == "d<=4":
+        return efp_multigraphs(4)
+    if select == "n4d4":
+        return tuple(
+            g
+            for g in efp_multigraphs(4)
+            if len(g) == 4 and len({v for e in g for v in e}) == 4
+        )
+    raise ValueError(f"unknown EFP selection {select!r}")
+
+
+def _einsum_spec(graph: Graph) -> str:
+    letters = "abcdefghij"
+    verts = sorted({v for e in graph for v in e})
+    ops = ["z" + letters[a] + letters[b] for a, b in graph]
+    ops += ["z" + letters[v] for v in verts]
+    return ",".join(ops) + "->z"
+
+
+def efps(
+    jets: np.ndarray,
+    select: str = "d<=4",
+    beta: float = 1.0,
+    normed: bool = True,
+    batch_size: int = 4096,
+    use_jax: bool | None = None,
+) -> np.ndarray:
+    """Compute EFPs for ``jets [B, N, >=3]`` ([eta_rel, phi_rel, pt_rel],
+    zero-padded). Returns ``[B, num_efps]`` float64."""
+    graphs = _select_graphs(select)
+    specs = [_einsum_spec(g) for g in graphs]
+
+    if use_jax is None:
+        use_jax = jets.shape[0] * jets.shape[1] ** 2 > 4e7
+    if use_jax:
+        import jax.numpy as xp
+        from jax import jit
+
+        @jit
+        def _compute(chunk):
+            eta, phi, pt = chunk[..., 0], chunk[..., 1], chunk[..., 2]
+            z = pt / xp.maximum(xp.sum(pt, axis=1, keepdims=True), 1e-30) if normed else pt
+            deta = eta[:, :, None] - eta[:, None, :]
+            dphi = phi[:, :, None] - phi[:, None, :]
+            theta = (deta**2 + dphi**2) ** (beta / 2.0)
+            outs = []
+            for g, spec in zip(graphs, specs):
+                ops = [theta] * len(g) + [z] * len({v for e in g for v in e})
+                outs.append(xp.einsum(spec, *ops))
+            return xp.stack(outs, axis=1)
+
+    else:
+
+        def _compute(chunk):
+            eta, phi, pt = chunk[..., 0], chunk[..., 1], chunk[..., 2]
+            denom = np.maximum(np.sum(pt, axis=1, keepdims=True), 1e-30)
+            z = pt / denom if normed else pt
+            deta = eta[:, :, None] - eta[:, None, :]
+            dphi = phi[:, :, None] - phi[:, None, :]
+            theta = (deta**2 + dphi**2) ** (beta / 2.0)
+            outs = []
+            for g, spec in zip(graphs, specs):
+                ops = [theta] * len(g) + [z] * len({v for e in g for v in e})
+                outs.append(np.einsum(spec, *ops, optimize=True))
+            return np.stack(outs, axis=1)
+
+    jets = np.asarray(jets, dtype=np.float64 if not use_jax else np.float32)
+    chunks = [
+        np.asarray(_compute(jets[i : i + batch_size]))
+        for i in range(0, jets.shape[0], batch_size)
+    ]
+    return np.concatenate(chunks, axis=0).astype(np.float64)

@@ -1,0 +1,94 @@
+"""Frechet distances on physics features.
+
+``fpd`` — the Frechet Physics Distance (arXiv:2211.10295): Frechet/Gaussian
+distance between real and generated distributions of the 20 EFPs of degree
+<= 4, with features standardized by the real-sample moments. The reference
+wires FPD into best-epoch selection (train.py:794-809).
+
+``fgd_inf`` — the bias-corrected FGD-infinity estimator from the same paper:
+FGD is computed at several batch sizes and linearly extrapolated in 1/N to
+infinite sample size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import linalg
+
+from .efp import efps
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """d^2 = |mu1 - mu2|^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) (Dowson-Landau),
+    with the standard eps-regularized matrix sqrt for near-singular products."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def _gaussian_moments(x: np.ndarray):
+    return np.mean(x, axis=0), np.cov(x, rowvar=False)
+
+
+def fgd_inf(
+    real_features: np.ndarray,
+    gen_features: np.ndarray,
+    min_samples: int = 20000,
+    max_samples: int = 50000,
+    num_batches: int = 20,
+    num_points: int = 10,
+    seed: int = 42,
+) -> tuple[float, float]:
+    """FGD extrapolated to infinite sample size: fit FGD(N) ~ a + b/N over
+    ``num_points`` batch sizes and report (intercept, fit-std). Returns
+    ``(value, std)``."""
+    rng = np.random.default_rng(seed)
+    n = min(len(real_features), len(gen_features))
+    max_samples = min(max_samples, n)
+    min_samples = min(min_samples, max_samples // 2 if max_samples >= 40 else max_samples)
+    batches = np.linspace(min_samples, max_samples, num_points).astype(int)
+
+    vals = np.zeros((num_points, num_batches))
+    for i, bs in enumerate(batches):
+        for j in range(num_batches):
+            ri = rng.choice(len(real_features), size=bs, replace=False)
+            gi = rng.choice(len(gen_features), size=bs, replace=False)
+            mu1, s1 = _gaussian_moments(real_features[ri])
+            mu2, s2 = _gaussian_moments(gen_features[gi])
+            vals[i, j] = frechet_distance(mu1, s1, mu2, s2)
+
+    means = vals.mean(axis=1)
+    x = 1.0 / batches
+    # linear fit y = a + b x; intercept a is FGD_inf
+    coeffs, cov = np.polyfit(x, means, 1, cov=True)
+    return float(coeffs[1]), float(np.sqrt(cov[1, 1]))
+
+
+def fpd(
+    real_jets: np.ndarray,
+    gen_jets: np.ndarray,
+    min_samples: int = 20000,
+    max_samples: int = 50000,
+    seed: int = 42,
+    real_efps: np.ndarray | None = None,
+    gen_efps: np.ndarray | None = None,
+) -> tuple[float, float]:
+    """Frechet Physics Distance: FGD-infinity on standardized d<=4 EFPs.
+    Pass precomputed ``*_efps`` to reuse the reference's EFP cache pattern
+    (train.py:744-757). Returns ``(value, std)``."""
+    if real_efps is None:
+        real_efps = efps(real_jets, select="d<=4")
+    if gen_efps is None:
+        gen_efps = efps(gen_jets, select="d<=4")
+    mean, std = real_efps.mean(axis=0), real_efps.std(axis=0)
+    std = np.where(std > 0, std, 1.0)
+    real_n = (real_efps - mean) / std
+    gen_n = (gen_efps - mean) / std
+    return fgd_inf(real_n, gen_n, min_samples=min_samples, max_samples=max_samples, seed=seed)
