@@ -107,9 +107,12 @@ def test_w1_metrics_discriminate():
     diff_p, _ = w1p(real_j, fake_j, num_eval_samples=2000, num_batches=2)
     assert diff_p[2] > same_p[2]  # pt feature moved
 
+    # EFPs use pt-normalized weights, so scale angles instead
+    fake_ang = real2_j.copy()
+    fake_ang[..., 0] *= 1.4
     same_e, _ = w1efp(real_j, real2_j, num_eval_samples=2000, num_batches=2)
-    diff_e, _ = w1efp(real_j, fake_j, num_eval_samples=2000, num_batches=2)
-    assert diff_e.mean() >= same_e.mean()
+    diff_e, _ = w1efp(real_j, fake_ang, num_eval_samples=2000, num_batches=2)
+    assert diff_e.mean() > same_e.mean()
 
 
 def test_frechet_distance_properties():
