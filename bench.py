@@ -1,0 +1,79 @@
+"""Benchmark: per-chip jet-generation throughput on the flagship MPGAN.
+
+Headline metric (BASELINE.md "north star"): generated jets/sec/chip at 150
+particles with the masked MPGAN generator. ``vs_baseline`` is measured
+throughput divided by the A100 PyTorch reference estimate:
+
+- the MPGAN paper (arXiv:2106.11535, Table 2) reports 35.7 us/jet for
+  30-particle generation on an NVIDIA A100 (= 28,011 jets/s),
+- the dense message-passing cost scales as N^2 (SURVEY.md §3.1), so the
+  150-particle baseline estimate is 28,011 / 25 = 1,120 jets/s.
+
+Prints ONE JSON line; extra keys carry the 30-particle number and timing
+details. Runs on whatever single device JAX exposes (TPU under the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_30P_JETS_PER_SEC = 1.0 / 35.7e-6  # arXiv:2106.11535 Table 2 (A100)
+BASELINE_150P_JETS_PER_SEC = BASELINE_30P_JETS_PER_SEC / 25.0  # N^2 scaling
+
+
+def bench_generator(num_particles: int, batch: int, iters: int = 30) -> float:
+    from mpgan_tpu.models.mpgan import mp_generator_apply, mp_generator_init
+    from mpgan_tpu.training.config import build_mpgan_generator, from_args_dict
+
+    args = from_args_dict({"model": "mpgan", "jets": "g", "num_hits": num_particles})
+    g_cfg = build_mpgan_generator(args)
+    params, state = mp_generator_init(jax.random.PRNGKey(0), g_cfg)
+
+    labels = jnp.asarray(
+        (np.random.default_rng(0).integers(1, num_particles + 1, size=batch) / num_particles)[
+            :, None
+        ].astype(np.float32)
+    )
+
+    @jax.jit
+    def step(params, state, key, labels):
+        noise = jax.random.normal(key, (batch, num_particles, 32)) * 0.2
+        out, _ = mp_generator_apply(g_cfg, params, state, noise, labels)
+        return out
+
+    key = jax.random.PRNGKey(1)
+    step(params, state, key, labels).block_until_ready()  # compile
+    start = time.perf_counter()
+    for i in range(iters):
+        out = step(params, state, jax.random.fold_in(key, i), labels)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+    return batch * iters / elapsed
+
+
+def main() -> None:
+    jets_150 = bench_generator(150, batch=512)
+    jets_30 = bench_generator(30, batch=4096)
+
+    result = {
+        "metric": "mpgan_generation_jets_per_sec_per_chip_150p",
+        "value": round(jets_150, 1),
+        "unit": "jets/s",
+        "vs_baseline": round(jets_150 / BASELINE_150P_JETS_PER_SEC, 2),
+        "extra": {
+            "jets_per_sec_30p": round(jets_30, 1),
+            "vs_baseline_30p": round(jets_30 / BASELINE_30P_JETS_PER_SEC, 2),
+            "baseline_150p_jets_per_sec": round(BASELINE_150P_JETS_PER_SEC, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
