@@ -26,11 +26,15 @@ BASELINE_30P_JETS_PER_SEC = 1.0 / 35.7e-6  # arXiv:2106.11535 Table 2 (A100)
 BASELINE_150P_JETS_PER_SEC = BASELINE_30P_JETS_PER_SEC / 25.0  # N^2 scaling
 
 
-def bench_generator(num_particles: int, batch: int, iters: int = 30) -> float:
+def bench_generator(
+    num_particles: int, batch: int, iters: int = 8, use_pallas: bool = True
+) -> float:
     from mpgan_tpu.models.mpgan import mp_generator_apply, mp_generator_init
     from mpgan_tpu.training.config import build_mpgan_generator, from_args_dict
 
-    args = from_args_dict({"model": "mpgan", "jets": "g", "num_hits": num_particles})
+    args = from_args_dict(
+        {"model": "mpgan", "jets": "g", "num_hits": num_particles, "use_pallas": use_pallas}
+    )
     g_cfg = build_mpgan_generator(args)
     params, state = mp_generator_init(jax.random.PRNGKey(0), g_cfg)
 
@@ -44,21 +48,23 @@ def bench_generator(num_particles: int, batch: int, iters: int = 30) -> float:
     def step(params, state, key, labels):
         noise = jax.random.normal(key, (batch, num_particles, 32)) * 0.2
         out, _ = mp_generator_apply(g_cfg, params, state, noise, labels)
-        return out
+        # scalar reduction: the timing below syncs per call with minimal
+        # device->host transfer (remote-tunnel friendly)
+        return jnp.sum(out)
 
     key = jax.random.PRNGKey(1)
-    step(params, state, key, labels).block_until_ready()  # compile
+    float(step(params, state, key, labels))  # compile
+    float(step(params, state, key, labels))  # warm
     start = time.perf_counter()
     for i in range(iters):
-        out = step(params, state, jax.random.fold_in(key, i), labels)
-    out.block_until_ready()
+        float(step(params, state, jax.random.fold_in(key, i), labels))
     elapsed = time.perf_counter() - start
     return batch * iters / elapsed
 
 
 def main() -> None:
     jets_150 = bench_generator(150, batch=512)
-    jets_30 = bench_generator(30, batch=4096)
+    jets_30 = bench_generator(30, batch=2048)
 
     result = {
         "metric": "mpgan_generation_jets_per_sec_per_chip_150p",

@@ -103,6 +103,7 @@ class MPGeneratorConfig:
     lfc: bool = False
     lfc_latent_size: int = 128
     fmg_cfg: MLPConfig | None = None
+    use_pallas: bool = False
 
     @staticmethod
     def build(
@@ -122,6 +123,7 @@ class MPGeneratorConfig:
         mp_args: dict[str, Any] | None = None,
         mp_args_first_layer: dict[str, Any] | None = None,
         linear_args: dict[str, Any] | None = None,
+        use_pallas: bool = False,
     ) -> "MPGeneratorConfig":
         layers = _build_layers(
             num_particles, input_node_size, mp_iters, list(fe_layers), list(fn_layers),
@@ -147,6 +149,7 @@ class MPGeneratorConfig:
             lfc=lfc,
             lfc_latent_size=lfc_latent_size,
             fmg_cfg=fmg_cfg,
+            use_pallas=use_pallas,
         )
 
 
@@ -230,7 +233,7 @@ def mp_generator_apply(
         x, s = mp_layer_apply(
             layer_cfg, params["mp_layers"][i], state["mp_layers"][i], x,
             mask=mask, labels=labels, num_jet_particles=num_jet_particles,
-            train=train, rng=rngs[i], update_sn=update_sn,
+            train=train, rng=rngs[i], update_sn=update_sn, use_pallas=cfg.use_pallas,
         )
         new_state["mp_layers"].append(s)
 
@@ -259,6 +262,7 @@ class MPDiscriminatorConfig:
     dea_sum: bool = True
     fnd_cfg: MLPConfig | None = None
     mask_manual: bool = False
+    use_pallas: bool = False
 
     @property
     def use_mask(self) -> bool:
@@ -288,6 +292,7 @@ class MPDiscriminatorConfig:
         mp_args: dict[str, Any] | None = None,
         mp_args_first_layer: dict[str, Any] | None = None,
         linear_args: dict[str, Any] | None = None,
+        use_pallas: bool = False,
     ) -> "MPDiscriminatorConfig":
         output_node_size = 1 if not dea else hidden_node_size
         layers = _build_layers(
@@ -314,6 +319,7 @@ class MPDiscriminatorConfig:
             dea_sum=dea_sum,
             fnd_cfg=fnd_cfg,
             mask_manual=mask_manual,
+            use_pallas=use_pallas,
         )
 
 
@@ -367,7 +373,7 @@ def mp_discriminator_apply(
         x, s = mp_layer_apply(
             layer_cfg, params["mp_layers"][i], state["mp_layers"][i], x,
             mask=mp_mask, labels=labels, num_jet_particles=num_jet_particles,
-            train=train, rng=rngs[i], update_sn=update_sn,
+            train=train, rng=rngs[i], update_sn=update_sn, use_pallas=cfg.use_pallas,
         )
         new_state["mp_layers"].append(s)
 

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .linear import MLPConfig, mlp_apply, mlp_init
+from .spectral_norm import spectral_normalize
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,6 +195,82 @@ def _append_cond(cfg: MPLayerConfig, t: jax.Array, labels, num_jet_particles) ->
     return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else t
 
 
+def fused_eligible(cfg: MPLayerConfig, train: bool) -> bool:
+    """The Pallas fused edge path covers the dense fully-connected layer
+    without pairwise-distance edge features; fe-internal dropout/batch-norm
+    (active only in training) needs the jnp path."""
+    return (
+        cfg.fully_connected
+        and not cfg.pos_diffs
+        and not cfg.fe.batch_norm
+        and not (train and cfg.fe.dropout_p > 0)
+    )
+
+
+def _fe_weights_sn(cfg: MPLayerConfig, params, state, update_sn):
+    """Resolve fe-layer weights, applying + advancing spectral norm."""
+    fe_cfg = cfg.fe
+    new_fe_state: dict = {}
+    if fe_cfg.spectral_norm:
+        new_fe_state["sn_u"] = []
+    weights = []
+    for i, layer in enumerate(params["fe"]["layers"]):
+        w, b = layer["w"], layer["b"]
+        if fe_cfg.layer_has_sn(i):
+            u = state["fe"]["sn_u"][i]
+            w, u_new, _ = spectral_normalize(w, u)
+            new_fe_state["sn_u"].append(u_new if update_sn else u)
+        elif fe_cfg.spectral_norm:
+            new_fe_state["sn_u"].append(None)
+        weights.append((w, b))
+    return weights, new_fe_state
+
+
+def _mp_layer_apply_fused(
+    cfg: MPLayerConfig,
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    mask: jax.Array | None,
+    labels: jax.Array | None,
+    num_jet_particles: jax.Array | None,
+    train: bool,
+    rng: jax.Array | None,
+    update_sn: bool,
+    block_receivers: int = 32,
+) -> tuple[jax.Array, dict]:
+    """Fused edge path: decompose fe layer 1 into receiver/sender embeddings
+    (+ per-jet conditioning folded into the sender term) and run the
+    VMEM-resident Pallas kernel for the N^2 MLP + masked aggregation."""
+    from .mp_pallas import edge_aggregate
+
+    weights, fe_state = _fe_weights_sn(cfg, params, state, update_sn)
+    f = cfg.input_node_size
+    w1, b1 = weights[0]
+    u1 = x @ w1[:, :f].T
+    bias = jnp.broadcast_to(b1, (x.shape[0], b1.shape[0]))
+    col = 2 * f
+    if cfg.clabels:
+        bias = bias + labels[:, : cfg.clabels].astype(x.dtype) @ w1[:, col : col + cfg.clabels].T
+        col += cfg.clabels
+    if cfg.mask_fne_np:
+        njp = num_jet_particles.astype(x.dtype).reshape(-1, 1)
+        bias = bias + njp @ w1[:, col : col + 1].T
+    u2 = x @ w1[:, f : 2 * f].T + bias[:, None, :]
+    hidden_flat = tuple(p for w, b in weights[1:] for p in (w.T, b))
+    m = mask if mask is not None else jnp.ones(x.shape[:2] + (1,), x.dtype)
+    agg = edge_aggregate(
+        u1, u2, m, hidden_flat, cfg.fe.leaky_relu_alpha, cfg.sum_agg, block_receivers
+    )
+
+    h = jnp.concatenate([agg, x], axis=-1)
+    h = _append_cond(cfg, h, labels, num_jet_particles)
+    y, fn_state = mlp_apply(
+        cfg.fn, params["fn"], state["fn"], h, train=train, rng=rng, update_sn=update_sn
+    )
+    return y, {"fe": fe_state, "fn": fn_state}
+
+
 def mp_layer_apply(
     cfg: MPLayerConfig,
     params: dict,
@@ -206,11 +283,18 @@ def mp_layer_apply(
     train: bool = False,
     rng: jax.Array | None = None,
     update_sn: bool = True,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, dict]:
     """One message-passing iteration (mpgan/model.py:206-282).
 
     ``x: [B, N, input_node_size]`` -> ``[B, N, output_node_size]``.
     """
+    if use_pallas and fused_eligible(cfg, train):
+        fn_rng = jax.random.split(rng)[1] if rng is not None else None
+        return _mp_layer_apply_fused(
+            cfg, params, state, x, mask, labels, num_jet_particles,
+            train, fn_rng, update_sn,
+        )
     fe_rng = fn_rng = None
     if rng is not None:
         fe_rng, fn_rng = jax.random.split(rng)

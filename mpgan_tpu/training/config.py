@@ -341,6 +341,7 @@ def build_mpgan_generator(args: Args) -> MPGeneratorConfig:
         mp_args=_mp_args(args),
         mp_args_first_layer={"clabels": clabels_fl},
         linear_args=_linear_args(args, gen=True),
+        use_pallas=args.get("use_pallas", False),
     )
 
 
@@ -363,6 +364,7 @@ def build_mpgan_discriminator(args: Args) -> MPDiscriminatorConfig:
         mp_args=_mp_args(args),
         mp_args_first_layer={"clabels": clabels_fl, "all_ef": False},
         linear_args=_linear_args(args, gen=False),
+        use_pallas=args.get("use_pallas", False),
     )
 
 

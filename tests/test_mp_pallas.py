@@ -1,0 +1,97 @@
+"""Fused Pallas MP kernel vs the jnp path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mpgan_tpu.ops.mp_pallas as mpp
+from mpgan_tpu.ops.mp import MPLayerConfig, mp_layer_apply
+from mpgan_tpu.models.mpgan import mp_generator_apply, mp_generator_init
+from mpgan_tpu.training.config import build_mpgan_generator, from_args_dict
+import dataclasses
+
+
+def _data(b=2, n=30, f=8, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, n, f).astype(np.float32) * 0.3)
+    counts = rng.randint(1, n + 1, size=b)
+    mask = jnp.asarray(
+        (np.arange(n)[None, :] < counts[:, None]).astype(np.float32)[..., None]
+    )
+    return x, mask
+
+
+@pytest.mark.parametrize("sum_agg", [True, False])
+@pytest.mark.parametrize("n,ti", [(30, 30), (30, 16), (13, 8)])
+def test_edge_aggregate_matches_reference(sum_agg, n, ti):
+    rng = np.random.RandomState(1)
+    b, h1, h2 = 2, 24, 16
+    u1 = jnp.asarray(rng.randn(b, n, h1).astype(np.float32))
+    u2 = jnp.asarray(rng.randn(b, n, h1).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b, n, 1) > 0.3).astype(np.float32))
+    hidden = (
+        jnp.asarray(rng.randn(h1, h2).astype(np.float32) * 0.2),
+        jnp.asarray(rng.randn(h2).astype(np.float32) * 0.2),
+    )
+    ref = mpp.edge_aggregate_reference(u1, u2, mask, hidden, 0.2, sum_agg)
+    out = mpp.edge_aggregate(u1, u2, mask, hidden, 0.2, sum_agg, ti)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("clabels,mask_fne_np", [(0, False), (2, False), (0, True), (1, True)])
+def test_fused_layer_matches_jnp(clabels, mask_fne_np):
+    cfg = MPLayerConfig.build(
+        8, [24, 16], [32], 8, clabels=clabels, mask_fne_np=mask_fne_np
+    )
+    from mpgan_tpu.ops.mp import mp_layer_init
+
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data()
+    labels = jnp.asarray(np.random.RandomState(2).rand(2, 3).astype(np.float32))
+    njp = jnp.asarray(np.array([5.0, 12.0], np.float32))
+
+    y_ref, _ = mp_layer_apply(
+        cfg, params, state, x, mask=mask, labels=labels, num_jet_particles=njp
+    )
+    y_fused, _ = mp_layer_apply(
+        cfg, params, state, x, mask=mask, labels=labels, num_jet_particles=njp,
+        use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), rtol=5e-4, atol=1e-5)
+
+
+def test_fused_generator_matches_jnp():
+    args = from_args_dict(
+        {"model": "mpgan", "num_hits": 20, "hidden_node_size": 16, "fe": [24, 16], "fn": [32]}
+    )
+    cfg = build_mpgan_generator(args)
+    cfg_fused = dataclasses.replace(cfg, use_pallas=True)
+    params, state = mp_generator_init(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(3)
+    noise = jnp.asarray((rng.randn(4, 20, 16) * 0.2).astype(np.float32))
+    labels = jnp.asarray((rng.randint(1, 21, size=4) / 20.0)[:, None].astype(np.float32))
+
+    y_ref, _ = mp_generator_apply(cfg, params, state, noise, labels)
+    y_fused, _ = mp_generator_apply(cfg_fused, params, state, noise, labels)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), rtol=5e-4, atol=1e-5)
+
+
+def test_fused_layer_gradients_match():
+    cfg = MPLayerConfig.build(8, [24, 16], [32], 8)
+    from mpgan_tpu.ops.mp import mp_layer_init
+
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data()
+
+    def loss(params, use_pallas):
+        y, _ = mp_layer_apply(cfg, params, state, x, mask=mask, use_pallas=use_pallas)
+        return jnp.sum(y**2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fused = jax.grad(lambda p: loss(p, True))(params)
+    flat_r, _ = jax.tree.flatten(g_ref)
+    flat_f, _ = jax.tree.flatten(g_fused)
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
