@@ -71,8 +71,10 @@ def _fwd_kernel(
     wb = refs[3 : 3 + 2 * (num_layers - 1)]
     out_ref = refs[3 + 2 * (num_layers - 1)]
 
-    u1 = u1_ref[0]  # [TI, H1]
-    u2 = u2_ref[0]  # [N, H1]
+    # broadcast-add in f32 (Mosaic can't shape-cast narrow bf16 vectors);
+    # the MXU matmul chain runs in the weights' dtype with f32 accumulation
+    u1 = u1_ref[0].astype(jnp.float32)  # [TI, H1]
+    u2 = u2_ref[0].astype(jnp.float32)  # [N, H1]
     a = _leaky(u1[:, None, :] + u2[None, :, :], alpha)  # [TI, N, H1]
     a = a.reshape(ti * n, -1)
     for layer in range(num_layers - 1):
@@ -80,17 +82,18 @@ def _fwd_kernel(
         b = wb[2 * layer + 1][:]
         a = _leaky(
             jax.lax.dot_general(
-                a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ).astype(a.dtype)
-            + b,
+                a.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b.astype(jnp.float32),
             alpha,
         )
     h_out = a.shape[-1]
-    a = a.reshape(ti, n, h_out) * mask_ref[0][None, :, :]
+    a = a.reshape(ti, n, h_out) * mask_ref[0][None, :, :].astype(jnp.float32)
     agg = jnp.sum(a, axis=1)
     if not sum_agg:
         agg = agg / n
-    out_ref[0] = agg
+    out_ref[0] = agg.astype(out_ref.dtype)
 
 
 def _edge_aggregate_fwd_impl(
@@ -183,11 +186,11 @@ def _bwd_kernel(
     row_valid = (
         jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0) + i * ti < n
     )  # [TI, 1]
-    u1 = jnp.where(row_valid, u1_ref[0], 0.0)
-    u2 = u2_ref[0]
-    mask = mask_ref[0]  # [N, 1]
+    u1 = jnp.where(row_valid, u1_ref[0].astype(jnp.float32), 0.0)
+    u2 = u2_ref[0].astype(jnp.float32)
+    mask = mask_ref[0].astype(jnp.float32)  # [N, 1]
 
-    # recompute forward, stashing pre-activations
+    # recompute forward in f32, stashing pre-activations
     z = (u1[:, None, :] + u2[None, :, :]).reshape(ti * n, -1)
     acts = [None] * num_layers  # post-activation per layer
     pre = [None] * num_layers  # pre-activation per layer
@@ -198,14 +201,15 @@ def _bwd_kernel(
         bb = wb[2 * layer + 1][:]
         zk = (
             jax.lax.dot_general(
-                acts[layer], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ).astype(z.dtype)
-            + bb
+                acts[layer].astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bb.astype(jnp.float32)
         )
         pre[layer + 1] = zk
         acts[layer + 1] = _leaky(zk, alpha)
 
-    g = jnp.where(row_valid, g_ref[0], 0.0)  # [TI, H_out] upstream grad of agg
+    g = jnp.where(row_valid, g_ref[0].astype(jnp.float32), 0.0)  # [TI, H_out]
     if not sum_agg:
         g = g / n
     a_last = acts[-1].reshape(ti, n, -1)
@@ -217,8 +221,8 @@ def _bwd_kernel(
     da = (g[:, None, :] * mask[None, :, :]).reshape(ti * n, -1)
 
     for layer in range(num_layers - 1, 0, -1):
-        dz = da * _dleaky(pre[layer], alpha)  # [TI*N, H_layer]
-        w = wb[2 * (layer - 1)][:]
+        dz = da * _dleaky(pre[layer], alpha)  # [TI*N, H_layer], f32
+        w = wb[2 * (layer - 1)][:].astype(jnp.float32)
         # weight grads: acts[layer-1]^T @ dz
         dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
             acts[layer - 1], dz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
