@@ -1,0 +1,99 @@
+"""Model registry: args -> (configs, init/apply fns, noise spec).
+
+The functional analogue of ``setup_training.models`` + ``get_model_args``
+(setup_training.py:1350-1497): every generator/discriminator family exposes
+``init(rng, cfg) -> (params, state)`` and
+``apply(cfg, params, state, x, labels, *, train, rng, update_sn) ->
+(out, new_state)``, so the train step and sampling API are model-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+from ..training import config as cfg_mod
+from ..training.sampling import NoiseSpec, noise_spec
+from . import ext
+from .gapt import gapt_d_apply, gapt_d_init, gapt_g_apply, gapt_g_init
+from .mpgan import (
+    mp_discriminator_apply,
+    mp_discriminator_init,
+    mp_generator_apply,
+    mp_generator_init,
+)
+
+
+@dataclasses.dataclass
+class ModelSuite:
+    model: str
+    model_d: str
+    g_cfg: Any
+    d_cfg: Any
+    g_init: Callable
+    d_init: Callable
+    g_apply: Callable
+    d_apply: Callable
+    noise: NoiseSpec
+    # maps real clouds into the training representation (PCGAN G_inv latents)
+    encode_real: Callable | None = None
+    # decodes generator output into clouds at eval time (PCGAN G_pc)
+    decode_eval: Callable | None = None
+
+
+def _model_args(args: cfg_mod.Args) -> dict[str, Any]:
+    """Noise-shape args per get_model_args (setup_training.py:1459-1497)."""
+    return {
+        "lfc": args.lfc,
+        "lfc_latent_size": args.lfc_latent_size,
+        "mask_learn_sep": args.mask_learn_sep,
+        "latent_node_size": args.latent_node_size or args.hidden_node_size,
+        "embed_dim": args.gapt_embed_dim,
+        "latent_dim": args.latent_dim,
+        "treegang_features": list(args.treegang_features),
+        "pcgan_latent_dim": args.pcgan_latent_dim,
+        "pcgan_z2_dim": args.pcgan_z2_dim,
+        "sample_points": False,
+    }
+
+
+def build_suite(args: cfg_mod.Args) -> ModelSuite:
+    model = args.model
+    model_d = args.model_D or {"mpgan": "mpgan", "pcgan": "pcgan", "gapt": "gapt"}.get(
+        model, "rgan"
+    )
+    spec = noise_spec(model, _model_args(args), args.num_hits, args.sd)
+
+    if model == "mpgan":
+        g_cfg = cfg_mod.build_mpgan_generator(args)
+        g_init, g_apply = mp_generator_init, mp_generator_apply
+    elif model == "gapt":
+        g_cfg = cfg_mod.build_gapt(args, gen=True)
+        g_init, g_apply = gapt_g_init, gapt_g_apply
+    elif model in ("rgan", "graphcnngan", "treegan", "pcgan"):
+        g_cfg, g_init, g_apply = ext.build_generator(args)
+    else:
+        raise ValueError(f"unknown model {model!r}")
+
+    if model_d == "mpgan":
+        d_cfg = cfg_mod.build_mpgan_discriminator(args)
+        d_init, d_apply = mp_discriminator_init, mp_discriminator_apply
+    elif model_d == "gapt":
+        d_cfg = cfg_mod.build_gapt(args, gen=False)
+        d_init, d_apply = gapt_d_init, gapt_d_apply
+    elif model_d in ("rgan", "pointnet", "pcgan"):
+        d_cfg, d_init, d_apply = ext.build_discriminator(args, model_d)
+    else:
+        raise ValueError(f"unknown model_D {model_d!r}")
+
+    return ModelSuite(
+        model=model,
+        model_d=model_d,
+        g_cfg=g_cfg,
+        d_cfg=d_cfg,
+        g_init=g_init,
+        d_init=d_init,
+        g_apply=g_apply,
+        d_apply=d_apply,
+        noise=spec,
+    )

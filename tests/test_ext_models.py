@@ -1,0 +1,221 @@
+"""External baseline models: parity vs the reference torch modules where the
+reference's dependencies allow (torch-only models), shape/behavior tests
+otherwise (GraphCNN-GAN needs torch_geometric, absent here)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpgan_tpu.models.ext import (
+    GraphCNNGANGConfig,
+    PCGANConfig,
+    PointNetMixDConfig,
+    RGANDConfig,
+    RGANGConfig,
+    TreeGANGConfig,
+)
+from mpgan_tpu.models.ext.graphcnn import graphcnn_g_apply, graphcnn_g_init
+from mpgan_tpu.models.ext.pcgan import (
+    g_inv_apply,
+    g_inv_weights_from_torch,
+    g_pc_apply,
+    g_pc_init,
+    latent_d_apply,
+    latent_d_init,
+    latent_g_apply,
+    latent_g_init,
+)
+from mpgan_tpu.models.ext.pointnet import pointnet_d_apply, pointnet_d_init
+from mpgan_tpu.models.ext.rgan import rgan_d_apply, rgan_d_init, rgan_g_apply, rgan_g_init
+from mpgan_tpu.models.ext.treegan import treegan_g_apply, treegan_g_init
+from mpgan_tpu.utils.torch_import import load_torch_state_dict
+
+
+class _A:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+@pytest.fixture()
+def ref_ext_models(reference_path):
+    """Import the reference ext_models with torch_geometric stubbed out
+    (only GraphCNNGANG construction needs the real thing)."""
+    import sys
+    import types
+
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tg_nn = types.ModuleType("torch_geometric.nn")
+        tg_nn.NNConv = object
+        tg_nn.BatchNorm = object
+        tg.nn = tg_nn
+        tc = types.ModuleType("torch_cluster")
+        tc.knn_graph = lambda *a, **k: None
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.nn"] = tg_nn
+        sys.modules["torch_cluster"] = tc
+    import ext_models.ext_models as mod
+
+    return mod
+
+
+def test_rgan_parity(reference_path, torch, ref_ext_models):
+    rGANG, rGAND = ref_ext_models.rGANG, ref_ext_models.rGAND
+
+    args = _A(latent_dim=32, rgang_fc=[64, 128], rgand_sfc=[64, 128], rgand_fc=[64],
+              num_hits=30, node_feat_size=3, leaky_relu_alpha=0.2)
+    torch.manual_seed(0)
+    g_ref = rGANG(args).eval()
+    d_ref = rGAND(args).eval()
+
+    g_cfg = RGANGConfig(32, (64, 128), 30, 3)
+    d_cfg = RGANDConfig((64, 128), (64,), 30, 3)
+    g_sd = {k: v.detach().numpy() for k, v in g_ref.state_dict().items()}
+    d_sd = {k: v.detach().numpy() for k, v in d_ref.state_dict().items()}
+
+    # model.{0,2,4}.weight -> layers (Linear layers at even indices)
+    g_params = {"layers": [
+        {"w": jnp.asarray(g_sd[f"model.{2*i}.weight"]), "b": jnp.asarray(g_sd[f"model.{2*i}.bias"])}
+        for i in range(3)
+    ]}
+    d_params = {
+        "sfc": [
+            {"w": jnp.asarray(d_sd[f"sfc.{2*i}.weight"]).squeeze(-1), "b": jnp.asarray(d_sd[f"sfc.{2*i}.bias"])}
+            for i in range(2)
+        ],
+        "fc": [
+            {"w": jnp.asarray(d_sd[f"fc.{2*i}.weight"]), "b": jnp.asarray(d_sd[f"fc.{2*i}.bias"])}
+            for i in range(2)
+        ],
+    }
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(4, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_out = g_ref(torch.from_numpy(z)).numpy()
+        ref_score = d_ref(torch.from_numpy(ref_out)).numpy()
+    ours, _ = rgan_g_apply(g_cfg, g_params, {}, jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-6)
+    score, _ = rgan_d_apply(d_cfg, d_params, {}, ours)
+    np.testing.assert_allclose(np.asarray(score), ref_score, rtol=1e-4, atol=1e-6)
+
+
+def test_pointnet_parity(reference_path, torch, ref_ext_models):
+    PointNetMixD = ref_ext_models.PointNetMixD
+
+    args = _A(pointnetd_pointfc=[64, 128], pointnetd_fc=[32], num_hits=30,
+              node_feat_size=3, mask=False, leaky_relu_alpha=0.2)
+    torch.manual_seed(1)
+    d_ref = PointNetMixD(args).eval()
+    sd = {k: v.detach().numpy() for k, v in d_ref.state_dict().items()}
+    cfg = PointNetMixDConfig((64, 128), (32,), 30, 3, mask=False)
+    params = {
+        "pointfc": [
+            {"w": jnp.asarray(sd[f"pointfc.{2*i}.weight"]), "b": jnp.asarray(sd[f"pointfc.{2*i}.bias"])}
+            for i in range(2)
+        ],
+        "fc": [
+            {"w": jnp.asarray(sd[f"fc.{2*i}.weight"]), "b": jnp.asarray(sd[f"fc.{2*i}.bias"])}
+            for i in range(2)
+        ],
+    }
+    x = np.random.RandomState(2).randn(4, 30, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = d_ref(torch.from_numpy(x.copy())).numpy()
+    ours, _ = pointnet_d_apply(cfg, params, {}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-6)
+
+
+def test_treegan_parity(reference_path, torch, ref_ext_models):
+    TreeGANG = ref_ext_models.TreeGANG
+
+    features = [16, 8, 8, 3]
+    degrees = [2, 2, 2]
+    torch.manual_seed(3)
+    g_ref = TreeGANG(features, degrees, support=4).eval()
+    sd = {k: v.detach().numpy() for k, v in g_ref.state_dict().items()}
+
+    cfg = TreeGANGConfig(tuple(features), tuple(degrees), support=4)
+    params = {"layers": []}
+    for depth in range(3):
+        base = f"gcn.TreeGCN_{depth}."
+        params["layers"].append(
+            {
+                "w_root": [
+                    jnp.asarray(sd[base + f"W_root.{i}.weight"]) for i in range(depth + 1)
+                ],
+                "w_branch": jnp.asarray(sd[base + "W_branch"]),
+                "w_loop1": jnp.asarray(sd[base + "W_loop.0.weight"]),
+                "w_loop2": jnp.asarray(sd[base + "W_loop.1.weight"]),
+                "bias": jnp.asarray(sd[base + "bias"]),
+            }
+        )
+
+    z = np.random.RandomState(4).randn(2, 1, 16).astype(np.float32)
+    with torch.no_grad():
+        ref = g_ref([torch.from_numpy(z.copy())]).numpy()
+    ours, _ = treegan_g_apply(cfg, params, {}, jnp.asarray(z))
+    assert ours.shape == (2, 8, 3)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_treegan_init_shapes():
+    cfg = TreeGANGConfig()
+    params, _ = treegan_g_init(jax.random.PRNGKey(0), cfg)
+    out, _ = treegan_g_apply(cfg, params, {}, jnp.zeros((3, 1, 96)))
+    assert out.shape == (3, 32, 3)
+
+
+def test_graphcnn_shapes_and_grads():
+    cfg = GraphCNNGANGConfig(latent_dim=16, layers=(12, 10), num_hits=20,
+                             node_feat_size=3, num_knn=5)
+    params, state = graphcnn_g_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    out, new_state = graphcnn_g_apply(cfg, params, state, z, train=True)
+    assert out.shape == (4, 20, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # bn state advanced
+    assert not np.allclose(np.asarray(state["bn"][0]["mean"]), np.asarray(new_state["bn"][0]["mean"]))
+    grads = jax.grad(lambda p: jnp.sum(graphcnn_g_apply(cfg, p, state, z)[0] ** 2))(params)
+    assert np.isfinite(np.asarray(grads["dense"]["w"])).all()
+
+
+def test_pcgan_g_inv_trained_weights(reference_path, torch):
+    """Shipped pcgan_G_inv_g.pt weights produce identical latents."""
+    import sys
+    sys.path.insert(0, str(reference_path / "ext_models"))
+    from pcgan_model import G_inv_Tanh
+
+    cfg = PCGANConfig()
+    sd_path = reference_path / "ext_models/pcgan_models/pcgan_G_inv_g.pt"
+    if not sd_path.exists():
+        pytest.skip("pcgan weights not shipped")
+    ref = G_inv_Tanh(3, 256, 256, "max1")
+    ref.load_state_dict(torch.load(str(sd_path), map_location="cpu"))
+    ref.eval()
+
+    sd = load_torch_state_dict(str(sd_path))
+    params, state = g_inv_weights_from_torch(sd, cfg)
+
+    x = np.random.RandomState(5).randn(4, 30, 3).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+    ours, _ = g_inv_apply(cfg, params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_pcgan_latent_gan_and_decoder_shapes():
+    cfg = PCGANConfig()
+    gp, _ = latent_g_init(jax.random.PRNGKey(0), cfg)
+    dp, _ = latent_d_init(jax.random.PRNGKey(1), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(2), (4, 128))
+    lat, _ = latent_g_apply(cfg, gp, {}, z)
+    assert lat.shape == (4, 256)
+    score, _ = latent_d_apply(cfg, dp, {}, lat)
+    assert score.shape == (4, 1)
+
+    pcp, _ = g_pc_init(jax.random.PRNGKey(3), cfg)
+    z2 = jax.random.normal(jax.random.PRNGKey(4), (4, 30, 10))
+    cloud, _ = g_pc_apply(cfg, pcp, {}, lat[:, None, :], z2)
+    assert cloud.shape == (4, 30, 3)
