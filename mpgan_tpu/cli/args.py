@@ -1,0 +1,39 @@
+"""CLI argument parsing: the full reference flag surface, generated from the
+config defaults (every key in ``config.defaults()`` becomes ``--key`` with
+hyphens; bools get the reference's paired ``--x`` / ``--no-x`` form,
+setup_training.py:17-27)."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any
+
+from ..training.config import Args, defaults, process_args
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="mpgan_tpu training")
+    for key, default in defaults().items():
+        flag = "--" + key.replace("_", "-")
+        if isinstance(default, bool):
+            group = parser.add_mutually_exclusive_group(required=False)
+            group.add_argument(flag, dest=key, action="store_true")
+            group.add_argument(
+                "--no-" + key.replace("_", "-"), dest=key, action="store_false"
+            )
+            parser.set_defaults(**{key: default})
+        elif isinstance(default, list):
+            elem_type = type(default[0]) if default else int
+            parser.add_argument(flag, dest=key, type=elem_type, nargs="*", default=default)
+        elif default is None:
+            parser.add_argument(flag, dest=key, default=None)
+        else:
+            parser.add_argument(flag, dest=key, type=type(default), default=default)
+    return parser
+
+
+def parse_cli(argv: list[str] | None = None) -> Args:
+    ns = build_parser().parse_args(argv)
+    args = Args(vars(ns))
+    process_args(args)
+    return args

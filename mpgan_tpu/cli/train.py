@@ -1,0 +1,58 @@
+"""Jet GAN training entry point (train.py:27-97).
+
+    python -m mpgan_tpu.cli.train --name run1 --model mpgan --jets g
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    from ..cli.args import parse_cli
+    from ..data.jetnet import JetNetDataset
+    from ..training.loop import Trainer
+
+    args = parse_cli(argv)
+    logging.basicConfig(
+        level=getattr(logging, args.log.upper(), logging.INFO),
+        format="%(asctime)s %(message)s",
+        datefmt="%d/%m %H:%M:%S",
+    )
+
+    data_kwargs = dict(
+        jet_type=args.jets,
+        data_dir=args.datasets_path or None,
+        num_particles=args.num_hits,
+        split_fraction=(args.ttsplit, 1 - args.ttsplit),
+        mask_feature=args.get("mask", False),
+        num_particles_label=bool(args.clabels or args.get("mask_c") or args.get("gapt_mask")),
+    )
+    train_ds = JetNetDataset(**data_kwargs, split="train")
+    valid_ds = JetNetDataset(**data_kwargs, split="valid")
+    logging.info(f"data loaded: train {len(train_ds)}, valid {len(valid_ds)}")
+
+    fpnd_fn = None
+    if args.get("fpnd"):
+        try:
+            from ..evaluation.fpnd import make_fpnd_fn
+
+            # pass a jetnet pnet_state_dict.pt path via --datasets-path
+            # convention <datasets>/pnet_state_dict.pt if present
+            import pathlib as _pl
+
+            wpath = None
+            if args.datasets_path:
+                cand = _pl.Path(args.datasets_path) / "pnet_state_dict.pt"
+                wpath = str(cand) if cand.exists() else None
+            fpnd_fn = make_fpnd_fn(wpath)
+        except Exception as exc:  # pre-trained ParticleNet weights unavailable
+            logging.warning(f"FPND unavailable: {exc}")
+
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds, fpnd_fn=fpnd_fn)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,234 @@
+"""FPND — Frechet ParticleNet Distance (SURVEY.md C22; used by the reference
+via ``jetnet.evaluation.fpnd``, train.py:595-601).
+
+FPND compares generated jets against real-jet statistics in the activation
+space of a pre-trained ParticleNet classifier (arXiv:1902.08570). The
+feature extractor here is the ParticleNet trunk in JAX:
+
+- per-particle input batch-norm,
+- three EdgeConv blocks (k=16 nearest neighbours in (eta, phi); edge MLP on
+  ``[x_i, x_j - x_i]`` with widths (64, 64, 64) / (128, 128, 128) /
+  (256, 256, 256), batch-norm + ReLU, mean aggregation over neighbours,
+  1x1-conv shortcut),
+- global average pooling over particles -> a 256-d activation vector.
+
+Published-number bit-compatibility requires the jetnet library's pre-trained
+weights (``pnet_state_dict.pt``, shipped inside the jetnet package — not
+available in a zero-egress environment): pass their path to
+``make_fpnd_fn``/``load_particlenet`` and the torch state dict is imported.
+Without weights, a fixed-seed random ParticleNet is used — a valid
+random-feature Frechet metric that is self-consistent across a training run
+(scores are then NOT comparable to published FPND values and are labelled
+accordingly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fpd import frechet_distance
+
+_BN_EPS = 1e-5
+_K = 16
+_CONV_WIDTHS = ((64, 64, 64), (128, 128, 128), (256, 256, 256))
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleNetConfig:
+    input_dims: int = 3
+    k: int = _K
+    conv_widths: tuple[tuple[int, ...], ...] = _CONV_WIDTHS
+
+
+def particlenet_init(rng: jax.Array, cfg: ParticleNetConfig = ParticleNetConfig()):
+    """Random (fixed-seed) ParticleNet trunk parameters."""
+    params: dict = {
+        "input_bn": {
+            "scale": jnp.ones((cfg.input_dims,)),
+            "bias": jnp.zeros((cfg.input_dims,)),
+            "mean": jnp.zeros((cfg.input_dims,)),
+            "var": jnp.ones((cfg.input_dims,)),
+        },
+        "edge_convs": [],
+    }
+    in_feat = cfg.input_dims
+    for bi, widths in enumerate(cfg.conv_widths):
+        block = {"convs": [], "shortcut": None}
+        cin = 2 * in_feat
+        for wi, w in enumerate(widths):
+            key = jax.random.fold_in(rng, bi * 10 + wi)
+            block["convs"].append(
+                {
+                    "w": jax.random.normal(key, (w, cin)) * (1.0 / np.sqrt(cin)),
+                    "bn_scale": jnp.ones((w,)),
+                    "bn_bias": jnp.zeros((w,)),
+                    "bn_mean": jnp.zeros((w,)),
+                    "bn_var": jnp.ones((w,)),
+                }
+            )
+            cin = w
+        key = jax.random.fold_in(rng, bi * 10 + 9)
+        block["shortcut"] = {
+            "w": jax.random.normal(key, (widths[-1], in_feat)) * (1.0 / np.sqrt(in_feat)),
+            "bn_scale": jnp.ones((widths[-1],)),
+            "bn_bias": jnp.zeros((widths[-1],)),
+            "bn_mean": jnp.zeros((widths[-1],)),
+            "bn_var": jnp.ones((widths[-1],)),
+        }
+        params["edge_convs"].append(block)
+        in_feat = widths[-1]
+    return params
+
+
+def _bn(x, p, prefix=""):
+    return (x - p[prefix + "mean"]) * jax.lax.rsqrt(p[prefix + "var"] + _BN_EPS) * p[
+        prefix + "scale"
+    ] + p[prefix + "bias"]
+
+
+def _knn_indices(points: jax.Array, k: int) -> jax.Array:
+    """[B, N, k] nearest-neighbour indices (excluding self) in coordinate
+    space, with zero-padded particles pushed away."""
+    d = jnp.sum((points[:, :, None, :] - points[:, None, :, :]) ** 2, axis=-1)
+    n = points.shape[1]
+    d = d + jnp.eye(n) * 1e9
+    return jnp.argsort(d, axis=2)[:, :, :k]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def particlenet_activations(
+    params: dict, jets: jax.Array, cfg: ParticleNetConfig = ParticleNetConfig()
+) -> jax.Array:
+    """``jets [B, N, 3]`` ([eta_rel, phi_rel, pt_rel], zero-padded) ->
+    activations ``[B, conv_widths[-1][-1]]``."""
+    mask = (jnp.abs(jets).sum(axis=-1, keepdims=True) > 0).astype(jets.dtype)
+    coords = jets[..., :2]
+    fts = _bn(jets, params["input_bn"])
+
+    for bi, block in enumerate(params["edge_convs"]):
+        # dynamic graph: first block uses (eta, phi), later blocks the
+        # learned feature space (ParticleNet's dynamic EdgeConv)
+        space = coords if bi == 0 else fts
+        space = space + (1 - mask) * 1e3  # padded particles never neighbours
+        idx = _knn_indices(space, cfg.k)
+        nbr = jnp.take_along_axis(
+            fts[:, None, :, :].repeat(fts.shape[1], axis=1),
+            idx[..., None].repeat(fts.shape[-1], axis=-1),
+            axis=2,
+        )  # [B, N, k, F]
+        edge = jnp.concatenate(
+            [jnp.broadcast_to(fts[:, :, None, :], nbr.shape), nbr - fts[:, :, None, :]],
+            axis=-1,
+        )
+        h = edge
+        for conv in block["convs"]:
+            h = h @ conv["w"].T
+            h = jax.nn.relu(_bn(h, conv, "bn_"))
+        aggregated = jnp.mean(h, axis=2)  # [B, N, w]
+        sc = fts @ block["shortcut"]["w"].T
+        sc = _bn(sc, block["shortcut"], "bn_")
+        fts = jax.nn.relu(aggregated + sc) * mask
+
+    # masked global average pooling
+    counts = jnp.maximum(mask.sum(axis=1), 1.0)
+    return fts.sum(axis=1) / counts
+
+
+def load_particlenet(path: str, cfg: ParticleNetConfig = ParticleNetConfig()) -> dict:
+    """Import a jetnet ``pnet_state_dict.pt`` (torch) into the trunk params.
+
+    Expected key layout (jetnet's ParticleNet, adapted from the original
+    pytorch implementation): ``edge_convs.{i}.convs.{j}.weight`` [out, in, 1]
+    (1x1 Conv2d), per-conv ``bns.{j}.*``, shortcut ``sc.weight``/``sc_bn.*``,
+    and input ``bn_fts.*``.
+    """
+    from ..utils.torch_import import load_torch_state_dict
+
+    sd = load_torch_state_dict(path)
+
+    def arr(k):
+        return jnp.asarray(sd[k])
+
+    params = {
+        "input_bn": {
+            "scale": arr("bn_fts.weight"),
+            "bias": arr("bn_fts.bias"),
+            "mean": arr("bn_fts.running_mean"),
+            "var": arr("bn_fts.running_var"),
+        },
+        "edge_convs": [],
+    }
+    for bi in range(len(cfg.conv_widths)):
+        block = {"convs": [], "shortcut": None}
+        for wi in range(len(cfg.conv_widths[bi])):
+            base = f"edge_convs.{bi}"
+            block["convs"].append(
+                {
+                    "w": arr(f"{base}.convs.{wi}.weight").reshape(
+                        cfg.conv_widths[bi][wi], -1
+                    ),
+                    "bn_scale": arr(f"{base}.bns.{wi}.weight"),
+                    "bn_bias": arr(f"{base}.bns.{wi}.bias"),
+                    "bn_mean": arr(f"{base}.bns.{wi}.running_mean"),
+                    "bn_var": arr(f"{base}.bns.{wi}.running_var"),
+                }
+            )
+        block["shortcut"] = {
+            "w": arr(f"edge_convs.{bi}.sc.weight").reshape(cfg.conv_widths[bi][-1], -1),
+            "bn_scale": arr(f"edge_convs.{bi}.sc_bn.weight"),
+            "bn_bias": arr(f"edge_convs.{bi}.sc_bn.bias"),
+            "bn_mean": arr(f"edge_convs.{bi}.sc_bn.running_mean"),
+            "bn_var": arr(f"edge_convs.{bi}.sc_bn.running_var"),
+        }
+        params["edge_convs"].append(block)
+    return params
+
+
+def fpnd(
+    real_jets: np.ndarray,
+    gen_jets: np.ndarray,
+    params: dict | None = None,
+    batch_size: int = 256,
+    num_samples: int = 50000,
+) -> float:
+    """Frechet distance between real and generated ParticleNet activations
+    (protocol: 50k samples, train.py:549-555)."""
+    if params is None:
+        params = particlenet_init(jax.random.PRNGKey(42))
+
+    def acts(jets):
+        jets = np.asarray(jets[:num_samples, :, :3], np.float32)
+        out = []
+        for i in range(0, len(jets), batch_size):
+            chunk = jets[i : i + batch_size]
+            if len(chunk) < batch_size:  # keep shapes static
+                pad = np.repeat(chunk[-1:], batch_size - len(chunk), axis=0)
+                out.append(np.asarray(particlenet_activations(params, jnp.asarray(
+                    np.concatenate([chunk, pad]))))[: len(chunk)])
+            else:
+                out.append(np.asarray(particlenet_activations(params, jnp.asarray(chunk))))
+        return np.concatenate(out)
+
+    a_real, a_gen = acts(real_jets), acts(gen_jets)
+    mu1, s1 = a_real.mean(axis=0), np.cov(a_real, rowvar=False)
+    mu2, s2 = a_gen.mean(axis=0), np.cov(a_gen, rowvar=False)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def make_fpnd_fn(weights_path: str | None = None):
+    """Trainer hook: returns ``fpnd_fn(gen_jets, jet_type, real_jets)``."""
+    params = None
+    if weights_path is not None:
+        params = load_particlenet(weights_path)
+
+    def _fn(gen_jets, jet_type, real_jets=None):
+        if real_jets is None:
+            raise ValueError("fpnd needs real jets for the reference moments")
+        return fpnd(real_jets, gen_jets, params)
+
+    return _fn

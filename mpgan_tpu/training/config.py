@@ -219,6 +219,11 @@ def _process_masking(args: Args) -> None:
     else:
         args.mask = False
         args.mask_c = False
+    if args.model != "gapt":
+        # the reference leaves the default gapt_mask=True set for non-GAPT
+        # models, which poisons its label/mask gating expressions
+        # (train.py:703, 832) for the ext-model families; clear it
+        args.gapt_mask = False
     if args.mask_fnd_np:
         args.dea = True
     if args.mask_feat:

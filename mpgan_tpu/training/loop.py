@@ -1,0 +1,288 @@
+"""Host-side training orchestration (train.py:812-985 + eval_save_plot
+686-809): epoch loop, D/G interleave, periodic evaluation + checkpoint +
+plots, best-epoch tracking, resume.
+
+The device work is two jitted SPMD step functions (mpgan_tpu/training/
+train_step.py); this module only shuffles batches, tracks metrics and talks
+to the filesystem.
+"""
+
+from __future__ import annotations
+
+import logging
+import pathlib
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..data.jetnet import gen_jet_corrections
+from ..data.loader import BatchLoader
+from ..evaluation import efps, fpd, w1efp, w1m, w1p
+from ..models.registry import ModelSuite, build_suite
+from ..ops.augment import AugmentConfig
+from ..parallel.mesh import jit_step, make_mesh
+from ..utils import plotting
+from . import checkpoint as ckpt
+from .config import Args
+from .optimizers import build_optimizer
+from .sampling import generate_multi_batch
+from .train_step import StepConfig, TrainState, init_train_state, make_train_steps
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        args: Args,
+        suite: ModelSuite | None = None,
+        train_dataset: Any = None,
+        valid_dataset: Any = None,
+        mesh=None,
+        fpnd_fn=None,
+    ):
+        self.args = args
+        self.suite = suite or build_suite(args)
+        self.train_dataset = train_dataset
+        self.valid_dataset = valid_dataset
+        self.fpnd_fn = fpnd_fn
+
+        # directory scaffolding (setup_training.py:1086-1110)
+        out_root = pathlib.Path(args.dir_path or "outputs")
+        self.out_dir = out_root / args.name
+        self.models_dir = self.out_dir / "models"
+        self.losses_dir = self.out_dir / "losses"
+        self.figs_dir = self.out_dir / "figs"
+        for d in (self.models_dir, self.losses_dir, self.figs_dir):
+            d.mkdir(parents=True, exist_ok=True)
+        (self.out_dir / f"{args.name}_args.txt").write_text(str(args.to_dict()))
+
+        self.use_labels = bool(args.get("mask_c") or args.clabels or args.get("gapt_mask"))
+
+        g_opt = build_optimizer(
+            args.optimizer, args.lr_gen, beta1=args.beta1, beta2=args.beta2
+        )
+        d_opt = build_optimizer(
+            args.optimizer, args.lr_disc, beta1=args.beta1, beta2=args.beta2
+        )
+        self.g_opt, self.d_opt = g_opt, d_opt
+
+        step_cfg = StepConfig(
+            loss=args.loss,
+            gp_lambda=args.gp,
+            label_smoothing=args.label_smoothing,
+            label_noise=args.label_noise,
+            augment=AugmentConfig(
+                aug_t=args.aug_t, aug_f=args.aug_f, aug_r90=args.aug_r90, aug_s=args.aug_s,
+                translate_ratio=args.translate_ratio, scale_sd=args.scale_sd,
+            ),
+            aug_prob=args.aug_prob,
+        )
+        d_step, g_step = make_train_steps(
+            step_cfg=step_cfg,
+            g_apply=self.suite.g_apply,
+            d_apply=self.suite.d_apply,
+            g_cfg=self.suite.g_cfg,
+            d_cfg=self.suite.d_cfg,
+            spec=self.suite.noise,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            use_labels=self.use_labels,
+            encode_real=self.suite.encode_real,
+        )
+
+        n_batch_args = 2 if self.use_labels else 1
+        if mesh is None and args.get("mesh_shape"):
+            mesh = make_mesh(args.mesh_shape)
+        if mesh is not None:
+            self.d_step = jit_step(d_step, mesh, num_batch_args=n_batch_args, donate_state=False)
+            self.g_step = jit_step(g_step, mesh, num_batch_args=n_batch_args, donate_state=False)
+        else:
+            self.d_step = jax.jit(d_step)
+            self.g_step = jax.jit(g_step)
+
+        # resume (setup_training.py:1138-1152)
+        self.state = init_train_state(
+            jax.random.PRNGKey(args.seed),
+            self.suite.g_init, self.suite.d_init,
+            self.suite.g_cfg, self.suite.d_cfg,
+            g_opt, d_opt,
+        )
+        self.start_epoch = 0
+        if args.get("load_model", True):
+            latest = ckpt.latest_epoch(self.models_dir)
+            if latest > 0:
+                self.state = ckpt.load_train_state(
+                    ckpt.checkpoint_path(self.models_dir, latest), self.state
+                )
+                self.start_epoch = latest
+                logger.info(f"resumed from epoch {latest}")
+
+        self.d_loss_keys = ["Dr", "Df", "D"] + (["gp"] if args.gp else [])
+        self.eval_keys = ["w1p", "w1m"]
+        if args.get("efp"):
+            self.eval_keys.append("w1efp")
+        if args.get("fpnd") and self.fpnd_fn is not None:
+            self.eval_keys.append("fpnd")
+        if args.get("fpd"):
+            self.eval_keys.append("fpd")
+        self.multi_value_keys = ["w1p", "w1m", "w1efp", "fpd"]
+        if self.start_epoch:
+            self.losses = ckpt.load_losses(
+                self.losses_dir, self.d_loss_keys + ["G"] + self.eval_keys,
+                self.eval_keys, self.multi_value_keys,
+                self.start_epoch, args.save_epochs,
+            )
+        else:
+            self.losses = {k: [] for k in self.d_loss_keys + ["G"] + self.eval_keys}
+        self.best_epoch = [[0, 1e10]]
+
+    # -- one epoch (train.py:812-886) ---------------------------------------
+
+    def train_epoch(self, epoch: int, loader: BatchLoader) -> dict[str, float]:
+        args = self.args
+        epoch_loss = {k: 0.0 for k in self.d_loss_keys + ["G"]}
+        num_batches = len(loader)
+        for batch_ndx, batch in enumerate(loader):
+            data = jax.numpy.asarray(batch[0])
+            step_args = (data,)
+            if self.use_labels:
+                step_args = (data, jax.numpy.asarray(batch[1]))
+
+            if args.num_critic > 1 or (batch_ndx == 0 or (batch_ndx - 1) % args.num_gen == 0):
+                self.state, d_metrics = self.d_step(self.state, *step_args)
+                for key in self.d_loss_keys:
+                    epoch_loss[key] += float(d_metrics[key])
+            if args.num_critic == 1 or (batch_ndx - 1) % args.num_critic == 0:
+                self.state, g_metrics = self.g_step(self.state, *step_args)
+                epoch_loss["G"] += float(g_metrics["G"])
+
+            if args.get("break_zero") and batch_ndx == 0:
+                break
+            if args.get("bottleneck") and batch_ndx == 10:
+                break
+
+        for key in self.d_loss_keys:
+            self.losses[key].append(epoch_loss[key] / (num_batches / args.num_gen))
+        self.losses["G"].append(epoch_loss["G"] / (num_batches / args.num_critic))
+        return epoch_loss
+
+    # -- evaluation + checkpoint + plots (train.py:686-809) ------------------
+
+    def eval_save_plot(self, epoch: int) -> None:
+        args = self.args
+        ckpt.save_train_state(ckpt.checkpoint_path(self.models_dir, epoch), self.state)
+
+        ds = self.valid_dataset
+        n_eval = min(args.eval_tot_samples, len(ds))
+        real_norm = ds.particle_data[:n_eval]
+        real_jets, real_mask = _corrected(
+            ds.particle_normalisation(real_norm, inverse=True),
+            self.use_labels, zero_mask_particles=False, zero_neg_pt=False,
+        )
+
+        labels = ds.jet_data[:n_eval] if self.use_labels else None
+        gen_norm = generate_multi_batch(
+            self.suite.g_apply, self.suite.g_cfg,
+            self.state.g_params, self.state.g_state,
+            self.suite.noise, jax.random.PRNGKey(epoch), n_eval, args.batch_size,
+            labels=labels,
+        )
+        gen_jets, gen_mask = _corrected(
+            ds.particle_normalisation(gen_norm, inverse=True),
+            self.use_labels, zero_mask_particles=self.use_labels, zero_neg_pt=False,
+        )
+
+        num_w1 = args.w1_num_samples[0] if isinstance(args.w1_num_samples, list) else args.w1_num_samples
+        num_batches = max(len(real_jets) // num_w1, 1)
+        w1pm, w1ps = w1p(real_jets, gen_jets, num_eval_samples=num_w1, num_batches=num_batches)
+        self.losses["w1p"].append(np.concatenate([w1pm, w1ps]).tolist())
+        w1mm, w1ms = w1m(real_jets, gen_jets, num_eval_samples=num_w1, num_batches=num_batches)
+        self.losses["w1m"].append([w1mm, w1ms])
+
+        real_efps = gen_efps = None
+        if "w1efp" in self.eval_keys:
+            w1em, w1es = w1efp(real_jets, gen_jets, num_eval_samples=num_w1, num_batches=num_batches)
+            self.losses["w1efp"].append(np.concatenate([w1em, w1es]).tolist())
+        if "fpnd" in self.eval_keys:
+            self.losses["fpnd"].append(float(self.fpnd_fn(gen_jets, args.jets, real_jets)))
+        if "fpd" in self.eval_keys:
+            real_efps = self._cached_real_efps(real_jets)
+            gen_efps = efps(gen_jets, select="d<=4")
+            fpd_val, fpd_std = fpd(
+                real_jets, gen_jets, real_efps=real_efps, gen_efps=gen_efps,
+                min_samples=min(5000, n_eval // 2), max_samples=min(20000, n_eval),
+            )
+            self.losses["fpd"].append([fpd_val, fpd_std])
+
+        ckpt.save_losses(self.losses, self.losses_dir)
+        try:
+            plotting.plot_part_feats_jet_mass(
+                args.jets, real_jets, gen_jets, real_mask, gen_mask,
+                f"{epoch}pm", str(self.figs_dir),
+            )
+            if len(self.losses["G"]) > 1:
+                plotting.plot_losses(self.losses, args.loss, str(epoch), str(self.losses_dir))
+            if len(self.losses["w1m"]) > 1:
+                plotting.plot_eval(
+                    self.losses, epoch, args.save_epochs, f"{epoch}_eval", str(self.losses_dir)
+                )
+            if real_efps is not None:
+                plotting.plot_efps(args.jets, real_efps, gen_efps, f"{epoch}efp", str(self.figs_dir))
+        except Exception:  # plotting must never kill training
+            logger.exception("plotting failed")
+
+        # best-epoch tracking on FPD (train.py:794-809)
+        if "fpd" in self.eval_keys and epoch > 0:
+            score = self.losses["fpd"][-1][0] + self.losses["fpd"][-1][1]
+            if score < self.best_epoch[-1][1]:
+                self.best_epoch.append([epoch, score])
+                np.savetxt(self.out_dir / "best_epoch.txt", np.asarray(self.best_epoch))
+                np.save(self.out_dir / "best_epoch_gen_jets.npy", gen_jets)
+                ckpt.save_train_state(self.out_dir / "state_best_epoch.npz", self.state)
+
+    def _cached_real_efps(self, real_jets: np.ndarray) -> np.ndarray:
+        """EFP cache for the real side (train.py:744-757)."""
+        cache = self.out_dir / f"real_efps_{self.args.jets}.npy"
+        if cache.exists():
+            arr = np.load(cache)
+            if len(arr) == len(real_jets):
+                return arr
+        arr = efps(real_jets, select="d<=4")
+        np.save(cache, arr)
+        return arr
+
+    # -- full run (train.py:889-985) ----------------------------------------
+
+    def train(self) -> None:
+        args = self.args
+        if self.start_epoch == 0 and args.get("save_zero"):
+            self.eval_save_plot(0)
+
+        loader = BatchLoader(
+            self.train_dataset.particle_data,
+            self.train_dataset.jet_data if self.use_labels else None,
+            batch_size=args.batch_size, shuffle=True, seed=args.seed,
+        )
+        for i in range(self.start_epoch, args.num_epochs):
+            epoch = i + 1
+            t0 = time.time()
+            self.train_epoch(epoch, loader)
+            logger.info(
+                f"epoch {epoch}: "
+                + " ".join(f"{k}={self.losses[k][-1]:.4f}" for k in self.d_loss_keys + ["G"])
+                + f" ({time.time() - t0:.1f}s)"
+            )
+            if epoch % args.save_epochs == 0:
+                self.eval_save_plot(epoch)
+            elif epoch % args.save_model_epochs == 0:
+                ckpt.save_train_state(ckpt.checkpoint_path(self.models_dir, epoch), self.state)
+
+
+def _corrected(unnorm: np.ndarray, use_mask: bool, **kwargs):
+    if use_mask:
+        jets, mask = gen_jet_corrections(unnorm, ret_mask_separate=True, **kwargs)
+        return jets, mask
+    return gen_jet_corrections(unnorm, ret_mask_separate=False, **kwargs), None

@@ -1,0 +1,105 @@
+"""End-to-end training-loop smoke tests on synthetic data (the framework's
+equivalent of the reference's --debug/--break-zero smoke path, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from mpgan_tpu.data.jetnet import JetNetDataset
+from mpgan_tpu.training.config import from_args_dict
+from mpgan_tpu.training.loop import Trainer
+
+
+def _tiny_args(tmp_path, **overrides):
+    d = dict(
+        name="smoke",
+        model="mpgan",
+        jets="g",
+        num_hits=10,
+        hidden_node_size=8,
+        fe=[12],
+        fn=[16],
+        batch_size=32,
+        num_epochs=2,
+        save_epochs=1,
+        save_model_epochs=1,
+        eval_tot_samples=300,
+        w1_num_samples=[100],
+        fpd=True,
+        dir_path=str(tmp_path),
+        gen_dropout=0.0,
+        disc_dropout=0.0,
+        load_model=False,
+        save_zero=False,
+    )
+    d.update(overrides)
+    return from_args_dict(d)
+
+
+def _datasets(num_hits=10, mask_feature=True):
+    kw = dict(jet_type="g", data_dir=None, num_particles=num_hits,
+              synthetic_num_jets=600, mask_feature=mask_feature)
+    return (JetNetDataset(**kw, split="train"), JetNetDataset(**kw, split="valid"))
+
+
+def test_trainer_end_to_end(tmp_path):
+    args = _tiny_args(tmp_path)
+    train_ds, valid_ds = _datasets()
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    trainer.train()
+
+    # losses recorded for both epochs
+    assert len(trainer.losses["G"]) == 2
+    assert len(trainer.losses["D"]) == 2
+    assert all(np.isfinite(trainer.losses["G"]))
+    # eval ran every epoch: w1 metrics + fpd recorded
+    assert len(trainer.losses["w1m"]) == 2
+    assert len(trainer.losses["fpd"]) == 2
+    # checkpoints + loss txts + figures on disk
+    out = tmp_path / "smoke"
+    assert (out / "models" / "state_2.npz").exists()
+    assert (out / "losses" / "G.txt").exists()
+    assert list((out / "figs").glob("*.pdf"))
+
+
+def test_trainer_resume(tmp_path):
+    args = _tiny_args(tmp_path)
+    train_ds, valid_ds = _datasets()
+    Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds).train()
+
+    args2 = _tiny_args(tmp_path, num_epochs=3, load_model=True)
+    trainer2 = Trainer(args2, train_dataset=train_ds, valid_dataset=valid_ds)
+    assert trainer2.start_epoch == 2
+    # loss history reloaded (2 completed epochs)
+    assert len(trainer2.losses["G"]) == 2
+    trainer2.train()
+    assert (tmp_path / "smoke" / "models" / "state_3.npz").exists()
+
+
+def test_trainer_gapt(tmp_path):
+    args = _tiny_args(
+        tmp_path, name="smoke_gapt", model="gapt", model_D="gapt",
+        gapt_embed_dim=16, num_heads=2, sab_layers_gen=1, sab_layers_disc=1,
+        fpd=False,
+    )
+    train_ds, valid_ds = _datasets()
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    trainer.train()
+    assert len(trainer.losses["w1m"]) == 2
+    assert all(np.isfinite(trainer.losses["G"]))
+
+
+def test_trainer_wgan_rgan(tmp_path):
+    """rGAN family: WGAN-GP loss, adam, num_critic=5 (the ext-model preset,
+    setup_training.py:957-974)."""
+    args = _tiny_args(
+        tmp_path, name="smoke_rgan", model="rgan", model_D="rgan",
+        latent_dim=16, rgang_fc=[24, 24], rgand_sfc=[16, 24], rgand_fc=[16],
+        fpd=False, num_epochs=1, batch_size=50,
+    )
+    assert args.loss == "w" and args.gp == 10 and args.num_critic == 5
+    # rgan runs unmasked (process_masking: mask only for mpgan/gapt)
+    train_ds, valid_ds = _datasets(mask_feature=False)
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    trainer.train()
+    assert np.isfinite(trainer.losses["gp"][-1])
+    assert len(trainer.losses["w1m"]) == 1
