@@ -79,7 +79,7 @@ def defaults() -> dict[str, Any]:
         translate_ratio=0.125, scale_sd=0.125, translate_pn_ratio=0.05,
         adaptive_prob=False, aug_prob=1.0,
         # mnist
-        mnist_num=-1, fid_eval_samples=8192,
+        mnist_num=-1, fid_eval_samples=8192, mnist_eval_resources="",
         # mpgan arch
         num_hits=30, coords="polarrel", norm=1.0, sd=0.2, node_feat_size=3,
         hidden_node_size=32, latent_node_size=0, clabels=0, clabels_fl=True,
