@@ -67,6 +67,11 @@ def build_suite(args: cfg_mod.Args) -> ModelSuite:
     if model == "mpgan":
         g_cfg = cfg_mod.build_mpgan_generator(args)
         g_init, g_apply = mp_generator_init, mp_generator_apply
+    elif model == "old_mpgan":
+        from .old_mpgan import OldMPGANConfig, old_mpgan_apply, old_mpgan_init
+
+        g_cfg = OldMPGANConfig.build(args, gen=True)
+        g_init, g_apply = old_mpgan_init, old_mpgan_apply
     elif model == "gapt":
         g_cfg = cfg_mod.build_gapt(args, gen=True)
         g_init, g_apply = gapt_g_init, gapt_g_apply
@@ -78,6 +83,11 @@ def build_suite(args: cfg_mod.Args) -> ModelSuite:
     if model_d == "mpgan":
         d_cfg = cfg_mod.build_mpgan_discriminator(args)
         d_init, d_apply = mp_discriminator_init, mp_discriminator_apply
+    elif model_d == "old_mpgan":
+        from .old_mpgan import OldMPGANConfig, old_mpgan_apply, old_mpgan_init
+
+        d_cfg = OldMPGANConfig.build(args, gen=False)
+        d_init, d_apply = old_mpgan_init, old_mpgan_apply
     elif model_d == "gapt":
         d_cfg = cfg_mod.build_gapt(args, gen=False)
         d_init, d_apply = gapt_d_init, gapt_d_apply

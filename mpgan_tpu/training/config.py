@@ -110,6 +110,10 @@ def from_args_dict(d: dict[str, Any], apply_processing: bool = True) -> Args:
     merged = defaults()
     merged.update(d)
     args = Args(merged)
+    if args.model != "gapt" and "gapt_mask" not in d:
+        # pre-GAPT model cards lack the flag; the default True would poison
+        # mask gating (see _process_masking)
+        args.gapt_mask = False
     if apply_processing:
         process_args(args)
     return args

@@ -151,6 +151,86 @@ def gapt_g_from_torch(sd: Mapping[str, np.ndarray], cfg: GAPTConfig) -> tuple[di
     return params, state
 
 
+def rgan_g_from_torch(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
+    """rGANG: Linear layers at even Sequential indices (ext_models.py:21-31)."""
+    n = len([k for k in sd if k.endswith(".weight")])
+    params = {
+        "layers": [
+            {"w": _arr(sd, f"model.{2 * i}.weight"), "b": _arr(sd, f"model.{2 * i}.bias")}
+            for i in range(n)
+        ]
+    }
+    return params, {}
+
+
+def graphcnn_g_from_torch(sd: Mapping[str, np.ndarray], cfg) -> tuple[dict, dict]:
+    """GraphCNNGANG: old-PyG NNConv layout (``layers.{i}.root [in, out]``,
+    edge MLP ``layers.{i}.nn``, wrapped ``bn_layers.{i}.module``)."""
+    params: dict = {
+        "dense": {"w": _arr(sd, "dense.weight"), "b": _arr(sd, "dense.bias")},
+        "convs": [],
+        "bn": [],
+    }
+    state: dict = {"bn": []}
+    num = len(cfg.all_sizes) - 1
+    for i in range(num):
+        params["convs"].append(
+            {
+                "edge": {"w": _arr(sd, f"layers.{i}.nn.weight"), "b": _arr(sd, f"layers.{i}.nn.bias")},
+                # old PyG root is [in, out]; ours is torch-Linear [out, in]
+                "root": {"w": _arr(sd, f"layers.{i}.root").T, "b": _arr(sd, f"layers.{i}.bias")},
+            }
+        )
+        bn = f"bn_layers.{i}.module."
+        params["bn"].append({"scale": _arr(sd, bn + "weight"), "bias": _arr(sd, bn + "bias")})
+        state["bn"].append(
+            {"mean": _arr(sd, bn + "running_mean"), "var": _arr(sd, bn + "running_var")}
+        )
+    return params, state
+
+
+def treegan_g_from_torch(sd: Mapping[str, np.ndarray], cfg) -> tuple[dict, dict]:
+    params: dict = {"layers": []}
+    for depth in range(cfg.layer_num):
+        base = f"gcn.TreeGCN_{depth}."
+        params["layers"].append(
+            {
+                "w_root": [_arr(sd, base + f"W_root.{i}.weight") for i in range(depth + 1)],
+                "w_branch": _arr(sd, base + "W_branch"),
+                "w_loop1": _arr(sd, base + "W_loop.0.weight"),
+                "w_loop2": _arr(sd, base + "W_loop.1.weight"),
+                "bias": _arr(sd, base + "bias"),
+            }
+        )
+    return params, {}
+
+
+def generator_from_torch(model: str, sd: Mapping[str, np.ndarray], cfg) -> tuple[dict, dict]:
+    """Dispatch a trained-model G state dict onto the right importer.
+
+    Note the shipped ``mplfc_*`` checkpoints are in the *modern* MPGenerator
+    layout despite their cards saying ``old_mpgan`` — detected via the
+    ``mp_layers.`` key prefix.
+    """
+    if model == "mpgan" or (model == "old_mpgan" and any(k.startswith("mp_layers.") for k in sd)):
+        return mp_generator_from_torch(sd, cfg)
+    if model == "old_mpgan":
+        from ..models.old_mpgan import old_mpgan_from_torch
+
+        return old_mpgan_from_torch(sd, cfg)
+    if model == "gapt":
+        return gapt_g_from_torch(sd, cfg)
+    if model == "rgan":
+        return rgan_g_from_torch(sd)
+    if model == "graphcnngan":
+        return graphcnn_g_from_torch(sd, cfg)
+    if model == "treegan":
+        return treegan_g_from_torch(sd, cfg)
+    if model == "pcgan":
+        return rgan_g_from_torch(sd)  # latent_G is the same Sequential layout
+    raise ValueError(f"unknown model {model!r}")
+
+
 def gapt_d_from_torch(sd: Mapping[str, np.ndarray], cfg: GAPTConfig) -> tuple[dict, dict]:
     params: dict[str, Any] = {"sabs": []}
     state: dict[str, Any] = {"sabs": []}
