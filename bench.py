@@ -1,16 +1,22 @@
 """Benchmark: per-chip jet-generation throughput on the flagship MPGAN.
 
 Headline metric (BASELINE.md "north star"): generated jets/sec/chip at 150
-particles with the masked MPGAN generator. ``vs_baseline`` is measured
-throughput divided by the A100 PyTorch reference estimate:
+particles with the masked MPGAN generator (fused Pallas MP kernel).
+``vs_baseline`` is measured throughput over the A100 PyTorch reference
+estimate:
 
 - the MPGAN paper (arXiv:2106.11535, Table 2) reports 35.7 us/jet for
   30-particle generation on an NVIDIA A100 (= 28,011 jets/s),
 - the dense message-passing cost scales as N^2 (SURVEY.md §3.1), so the
   150-particle baseline estimate is 28,011 / 25 = 1,120 jets/s.
 
+Methodology: the per-config step runs ``ITERS`` iterations inside one jitted
+``fori_loop`` (single dispatch, one device sync) and we take the best of
+``REPEATS`` trials — the remote-tunnel link to the TPU adds large,
+intermittent per-dispatch latency that would otherwise pollute the numbers.
+
 Prints ONE JSON line; extra keys carry the 30-particle number and timing
-details. Runs on whatever single device JAX exposes (TPU under the driver).
+details.
 """
 
 from __future__ import annotations
@@ -25,9 +31,12 @@ import numpy as np
 BASELINE_30P_JETS_PER_SEC = 1.0 / 35.7e-6  # arXiv:2106.11535 Table 2 (A100)
 BASELINE_150P_JETS_PER_SEC = BASELINE_30P_JETS_PER_SEC / 25.0  # N^2 scaling
 
+ITERS = 16
+REPEATS = 3
+
 
 def bench_generator(
-    num_particles: int, batch: int, iters: int = 8, use_pallas: bool = True
+    num_particles: int, batch: int, use_pallas: bool = True
 ) -> float:
     from mpgan_tpu.models.mpgan import mp_generator_apply, mp_generator_init
     from mpgan_tpu.training.config import build_mpgan_generator, from_args_dict
@@ -45,26 +54,28 @@ def bench_generator(
     )
 
     @jax.jit
-    def step(params, state, key, labels):
-        noise = jax.random.normal(key, (batch, num_particles, 32)) * 0.2
-        out, _ = mp_generator_apply(g_cfg, params, state, noise, labels)
-        # scalar reduction: the timing below syncs per call with minimal
-        # device->host transfer (remote-tunnel friendly)
-        return jnp.sum(out)
+    def run(params, state, key, labels):
+        def body(i, acc):
+            noise = jax.random.normal(
+                jax.random.fold_in(key, i), (batch, num_particles, 32)
+            ) * 0.2
+            out, _ = mp_generator_apply(g_cfg, params, state, noise, labels)
+            return acc + jnp.sum(out) * 1e-9
+        return jax.lax.fori_loop(0, ITERS, body, 0.0)
 
     key = jax.random.PRNGKey(1)
-    float(step(params, state, key, labels))  # compile
-    float(step(params, state, key, labels))  # warm
-    start = time.perf_counter()
-    for i in range(iters):
-        float(step(params, state, jax.random.fold_in(key, i), labels))
-    elapsed = time.perf_counter() - start
-    return batch * iters / elapsed
+    float(run(params, state, key, labels))  # compile + warm
+    best = float("inf")
+    for r in range(REPEATS):
+        t = time.perf_counter()
+        float(run(params, state, jax.random.fold_in(key, r), labels))
+        best = min(best, time.perf_counter() - t)
+    return batch * ITERS / best
 
 
 def main() -> None:
     jets_150 = bench_generator(150, batch=512)
-    jets_30 = bench_generator(30, batch=2048)
+    jets_30 = bench_generator(30, batch=4096)
 
     result = {
         "metric": "mpgan_generation_jets_per_sec_per_chip_150p",
