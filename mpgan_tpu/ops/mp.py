@@ -197,14 +197,10 @@ def _append_cond(cfg: MPLayerConfig, t: jax.Array, labels, num_jet_particles) ->
 
 def fused_eligible(cfg: MPLayerConfig, train: bool) -> bool:
     """The Pallas fused edge path covers the dense fully-connected layer
-    without pairwise-distance edge features; fe-internal dropout/batch-norm
-    (active only in training) needs the jnp path."""
-    return (
-        cfg.fully_connected
-        and not cfg.pos_diffs
-        and not cfg.fe.batch_norm
-        and not (train and cfg.fe.dropout_p > 0)
-    )
+    without pairwise-distance edge features (fe dropout runs in-kernel via
+    the TPU PRNG); fe-internal batch-norm needs the jnp path (it reduces
+    over the whole batch, which the per-jet grid can't see)."""
+    return cfg.fully_connected and not cfg.pos_diffs and not cfg.fe.batch_norm
 
 
 def _fe_weights_sn(cfg: MPLayerConfig, params, state, update_sn):
@@ -259,8 +255,17 @@ def _mp_layer_apply_fused(
     u2 = x @ w1[:, f : 2 * f].T + bias[:, None, :]
     hidden_flat = tuple(p for w, b in weights[1:] for p in (w.T, b))
     m = mask if mask is not None else jnp.ones(x.shape[:2] + (1,), x.dtype)
+    dropout_p = cfg.fe.dropout_p if train else 0.0
+    seed = None
+    if dropout_p > 0:
+        if rng is None:
+            raise ValueError("fe dropout in train mode needs an rng")
+        seed = jax.random.randint(
+            jax.random.fold_in(rng, 1), (), 0, 2**30, dtype=jnp.int32
+        ).astype(jnp.float32)
     agg = edge_aggregate(
-        u1, u2, m, hidden_flat, cfg.fe.leaky_relu_alpha, cfg.sum_agg, block_receivers
+        u1, u2, m, hidden_flat, seed, cfg.fe.leaky_relu_alpha, cfg.sum_agg,
+        block_receivers, dropout_p,
     )
 
     h = jnp.concatenate([agg, x], axis=-1)

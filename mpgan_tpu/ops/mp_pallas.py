@@ -58,20 +58,51 @@ def _dleaky(x, alpha):
 # ---------------------------------------------------------------------------
 
 
+def _dropmul(shape, dropout_p, seed, salt):
+    """Dropout multiplier tensor: 1/keep with prob keep, else 0 (torch
+    semantics), from a *stateless* counter-based hash (murmur3 finalizer) of
+    (program id, element index, layer salt, seed).
+
+    Stateless generation means the backward rematerialization replays the
+    exact forward masks with no PRNG state to carry, and the kernel behaves
+    identically on TPU and in interpret mode."""
+    keep = 1.0 - dropout_p
+    gid = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)).astype(jnp.uint32)
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    h = rows * np.uint32(shape[1]) + cols
+    h = h + gid * np.uint32(2654435761)
+    h = h + seed.astype(jnp.uint32) * np.uint32(0x9E3779B9) + np.uint32(salt * 0x7FEB352D)
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    threshold = np.uint32(min(int(dropout_p * 2**32), 2**32 - 1))
+    return jnp.where(h >= threshold, 1.0 / keep, 0.0)
+
+
 def _fwd_kernel(
     num_layers: int,
     alpha: float,
     sum_agg: bool,
     ti: int,
     n: int,
+    dropout_p: float,
     *refs,
 ):
-    # refs: u1_blk, u2, mask, (w2, b2), ... (wk, bk), out
+    # refs: [seed?], u1_blk, u2, mask, (w2, b2), ... (wk, bk), out
     # the first-layer bias (incl. per-jet conditioning terms) is folded into
     # u2 by the caller, so the layer-1 pre-activation is just u1[i] + u2[j]
-    u1_ref, u2_ref, mask_ref = refs[0], refs[1], refs[2]
-    wb = refs[3 : 3 + 2 * (num_layers - 1)]
-    out_ref = refs[3 + 2 * (num_layers - 1)]
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    u1_ref, u2_ref, mask_ref = refs[base], refs[base + 1], refs[base + 2]
+    wb = refs[base + 3 : base + 3 + 2 * (num_layers - 1)]
+    out_ref = refs[base + 3 + 2 * (num_layers - 1)]
+
+    seed = seed_ref[0] if dropout_p > 0 else None
 
     # broadcast-add in f32 (Mosaic can't shape-cast narrow bf16 vectors);
     # the MXU matmul chain runs in the weights' dtype with f32 accumulation
@@ -79,6 +110,8 @@ def _fwd_kernel(
     u2 = u2_ref[0].astype(jnp.float32)  # [N, H1]
     a = _leaky(u1[:, None, :] + u2[None, :, :], alpha)  # [TI, N, H1]
     a = a.reshape(ti * n, -1)
+    if dropout_p > 0:
+        a = a * _dropmul(a.shape, dropout_p, seed, 0)
     for layer in range(num_layers - 1):
         w = wb[2 * layer][:]
         b = wb[2 * layer + 1][:]
@@ -90,6 +123,8 @@ def _fwd_kernel(
             + b.astype(jnp.float32),
             alpha,
         )
+        if dropout_p > 0:
+            a = a * _dropmul(a.shape, dropout_p, seed, layer + 1)
     h_out = a.shape[-1]
     a = a.reshape(ti, n, h_out) * mask_ref[0][None, :, :].astype(jnp.float32)
     agg = jnp.sum(a, axis=1)
@@ -103,10 +138,12 @@ def _edge_aggregate_fwd_impl(
     u2: jax.Array,  # [B, N, H1] sender embedding + first-layer bias
     mask: jax.Array,  # [B, N, 1]
     hidden: Sequence[tuple[jax.Array, jax.Array]],
+    seed: jax.Array | None = None,
     *,
     alpha: float,
     sum_agg: bool,
     block_receivers: int,
+    dropout_p: float = 0.0,
 ) -> jax.Array:
     b_sz, n, h1 = u1.shape
     ti = min(block_receivers, n)
@@ -114,18 +151,23 @@ def _edge_aggregate_fwd_impl(
     num_layers = len(hidden) + 1
     h_out = hidden[-1][0].shape[1] if hidden else h1
 
-    in_specs = [
+    in_specs = []
+    args = []
+    if dropout_p > 0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
+    in_specs += [
         pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [u1, u2, mask]
+    args += [u1, u2, mask]
     for w, b in hidden:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.extend([w, b])
 
-    kernel = functools.partial(_fwd_kernel, num_layers, alpha, sum_agg, ti, n)
+    kernel = functools.partial(_fwd_kernel, num_layers, alpha, sum_agg, ti, n, dropout_p)
     flops = 2 * b_sz * n * n * sum(w.shape[0] * w.shape[1] for w, _ in hidden)
     return pl.pallas_call(
         kernel,
@@ -151,14 +193,21 @@ def _bwd_kernel(
     sum_agg: bool,
     ti: int,
     n: int,
+    dropout_p: float,
     *refs,
 ):
     """Recompute the edge pipeline for one (jet, receiver-block) tile and
-    backprop within VMEM.
+    backprop within VMEM. The same per-program PRNG seeding replays the
+    forward's dropout masks exactly.
 
     outputs: du1 block [TI, H1], du2 accum [N, H1], dmask accum [N, 1],
-    dw_k/db_k accums, db1 accum.
+    dw_k/db_k accums.
     """
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    refs = refs[base:]
     u1_ref, u2_ref, mask_ref = refs[0], refs[1], refs[2]
     wb = refs[3 : 3 + 2 * (num_layers - 1)]
     g_ref = refs[3 + 2 * (num_layers - 1)]
@@ -192,12 +241,19 @@ def _bwd_kernel(
     u2 = u2_ref[0].astype(jnp.float32)
     mask = mask_ref[0].astype(jnp.float32)  # [N, 1]
 
-    # recompute forward in f32, stashing pre-activations
+    seed = seed_ref[0] if dropout_p > 0 else None
+
+    # recompute forward in f32, stashing pre-activations (and replayed
+    # dropout multipliers, which fold into the activation derivative)
     z = (u1[:, None, :] + u2[None, :, :]).reshape(ti * n, -1)
-    acts = [None] * num_layers  # post-activation per layer
+    acts = [None] * num_layers  # post-activation (incl. dropout) per layer
     pre = [None] * num_layers  # pre-activation per layer
+    drops = [None] * num_layers
     pre[0] = z
     acts[0] = _leaky(z, alpha)
+    if dropout_p > 0:
+        drops[0] = _dropmul(acts[0].shape, dropout_p, seed, 0)
+        acts[0] = acts[0] * drops[0]
     for layer in range(num_layers - 1):
         w = wb[2 * layer][:]
         bb = wb[2 * layer + 1][:]
@@ -210,6 +266,9 @@ def _bwd_kernel(
         )
         pre[layer + 1] = zk
         acts[layer + 1] = _leaky(zk, alpha)
+        if dropout_p > 0:
+            drops[layer + 1] = _dropmul(acts[layer + 1].shape, dropout_p, seed, layer + 1)
+            acts[layer + 1] = acts[layer + 1] * drops[layer + 1]
 
     g = jnp.where(row_valid, g_ref[0].astype(jnp.float32), 0.0)  # [TI, H_out]
     if not sum_agg:
@@ -223,6 +282,8 @@ def _bwd_kernel(
     da = (g[:, None, :] * mask[None, :, :]).reshape(ti * n, -1)
 
     for layer in range(num_layers - 1, 0, -1):
+        if dropout_p > 0:
+            da = da * drops[layer]
         dz = da * _dleaky(pre[layer], alpha)  # [TI*N, H_layer], f32
         w = wb[2 * (layer - 1)][:].astype(jnp.float32)
         # weight grads: acts[layer-1]^T @ dz
@@ -236,13 +297,16 @@ def _bwd_kernel(
             dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(da.dtype)
 
+    if dropout_p > 0:
+        da = da * drops[0]
     dz1 = (da * _dleaky(pre[0], alpha)).reshape(ti, n, -1)
     du1_ref[0] = jnp.sum(dz1, axis=1).astype(du1_ref.dtype)
     du2_ref[0] += jnp.sum(dz1, axis=0).astype(du2_ref.dtype)
 
 
 def _edge_aggregate_bwd_impl(
-    u1, u2, mask, hidden, g, *, alpha, sum_agg, block_receivers
+    u1, u2, mask, hidden, g, seed=None, *, alpha, sum_agg, block_receivers,
+    dropout_p=0.0,
 ):
     b_sz, n, h1 = u1.shape
     ti = min(block_receivers, n)
@@ -250,12 +314,17 @@ def _edge_aggregate_bwd_impl(
     num_layers = len(hidden) + 1
     h_out = hidden[-1][0].shape[1] if hidden else h1
 
-    in_specs = [
+    in_specs = []
+    args = []
+    if dropout_p > 0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
+    in_specs += [
         pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [u1, u2, mask]
+    args += [u1, u2, mask]
     for w, b in hidden:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -281,7 +350,7 @@ def _edge_aggregate_bwd_impl(
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_bwd_kernel, num_layers, alpha, sum_agg, ti, n)
+    kernel = functools.partial(_bwd_kernel, num_layers, alpha, sum_agg, ti, n, dropout_p)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -300,39 +369,48 @@ def _edge_aggregate_bwd_impl(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def edge_aggregate(u1, u2, mask, hidden_flat, alpha, sum_agg, block_receivers):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def edge_aggregate(
+    u1, u2, mask, hidden_flat, seed, alpha, sum_agg, block_receivers, dropout_p=0.0
+):
     """``agg[b, i] = sum_j mask[b, j] * fe_mlp(u1[b, i] + u2[b, j])`` with fe
     hidden layers ``hidden_flat = (w2, b2, w3, b3, ...)``. The first-layer
-    bias and any per-jet conditioning terms must be pre-folded into u2."""
+    bias and any per-jet conditioning terms must be pre-folded into u2.
+    ``seed`` (float32 scalar array) drives in-kernel dropout when
+    ``dropout_p > 0``; pass ``None``/zeros otherwise."""
     hidden = [
         (hidden_flat[2 * k], hidden_flat[2 * k + 1]) for k in range(len(hidden_flat) // 2)
     ]
     return _edge_aggregate_fwd_impl(
-        u1, u2, mask, hidden, alpha=alpha, sum_agg=sum_agg,
-        block_receivers=block_receivers,
+        u1, u2, mask, hidden, seed, alpha=alpha, sum_agg=sum_agg,
+        block_receivers=block_receivers, dropout_p=dropout_p,
     )
 
 
-def _edge_aggregate_fwd(u1, u2, mask, hidden_flat, alpha, sum_agg, block_receivers):
-    out = edge_aggregate(u1, u2, mask, hidden_flat, alpha, sum_agg, block_receivers)
-    return out, (u1, u2, mask, hidden_flat)
+def _edge_aggregate_fwd(
+    u1, u2, mask, hidden_flat, seed, alpha, sum_agg, block_receivers, dropout_p
+):
+    out = edge_aggregate(
+        u1, u2, mask, hidden_flat, seed, alpha, sum_agg, block_receivers, dropout_p
+    )
+    return out, (u1, u2, mask, hidden_flat, seed)
 
 
-def _edge_aggregate_bwd(alpha, sum_agg, block_receivers, res, g):
-    u1, u2, mask, hidden_flat = res
+def _edge_aggregate_bwd(alpha, sum_agg, block_receivers, dropout_p, res, g):
+    u1, u2, mask, hidden_flat, seed = res
     hidden = [
         (hidden_flat[2 * k], hidden_flat[2 * k + 1]) for k in range(len(hidden_flat) // 2)
     ]
     du1, du2, dmask, dhidden = _edge_aggregate_bwd_impl(
-        u1, u2, mask, hidden, g, alpha=alpha, sum_agg=sum_agg,
-        block_receivers=block_receivers,
+        u1, u2, mask, hidden, g, seed, alpha=alpha, sum_agg=sum_agg,
+        block_receivers=block_receivers, dropout_p=dropout_p,
     )
     dhidden_flat = tuple(x for pair in dhidden for x in pair)
     dhidden_flat = tuple(
         d.astype(h.dtype) for d, h in zip(dhidden_flat, hidden_flat)
     )
-    return du1, du2, dmask, dhidden_flat
+    dseed = None if seed is None else jnp.zeros_like(seed)
+    return du1, du2, dmask, dhidden_flat, dseed
 
 
 edge_aggregate.defvjp(_edge_aggregate_fwd, _edge_aggregate_bwd)
@@ -344,6 +422,7 @@ edge_aggregate.defvjp(_edge_aggregate_fwd, _edge_aggregate_bwd)
 
 
 def edge_aggregate_reference(u1, u2, mask, hidden_flat, alpha, sum_agg):
+    # (no dropout: the reference path is used for parity checks in eval mode)
     """Pure-jnp semantics of ``edge_aggregate`` (used to validate the kernel)."""
     a = _leaky(u1[:, :, None, :] + u2[:, None, :, :], alpha)
     for k in range(len(hidden_flat) // 2):
