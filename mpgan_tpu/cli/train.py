@@ -14,12 +14,10 @@ def main(argv: list[str] | None = None) -> None:
     from ..data.jetnet import JetNetDataset
     from ..training.loop import Trainer
 
+    from ..utils.logging_utils import init_logging
+
     args = parse_cli(argv)
-    logging.basicConfig(
-        level=getattr(logging, args.log.upper(), logging.INFO),
-        format="%(asctime)s %(message)s",
-        datefmt="%d/%m %H:%M:%S",
-    )
+    init_logging(args.log, args.log_file)
 
     data_kwargs = dict(
         jet_type=args.jets,

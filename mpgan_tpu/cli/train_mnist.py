@@ -29,11 +29,9 @@ def main(argv: list[str] | None = None) -> None:
     if "mnist_eval_resources" not in args.__dict__:
         args.mnist_eval_resources = ""
 
-    logging.basicConfig(
-        level=getattr(logging, args.log.upper(), logging.INFO),
-        format="%(asctime)s %(message)s",
-        datefmt="%d/%m %H:%M:%S",
-    )
+    from ..utils.logging_utils import init_logging
+
+    init_logging(args.log, args.log_file)
 
     data_dir = args.datasets_path or None
     train_ds = MNISTDatasetView(

@@ -102,7 +102,7 @@ def defaults() -> dict[str, Any]:
         treegang_support=10, pcgan_latent_dim=128, pcgan_z1_dim=256,
         pcgan_z2_dim=10, pcgan_d_dim=256, pcgan_pool="max1",
         # framework-specific (no reference counterpart)
-        compute_dtype="float32", use_pallas=False, mesh_shape=None,
+        compute_dtype="float32", use_pallas=False, mesh_shape=None, profile=False,
     )
 
 

@@ -269,7 +269,13 @@ class Trainer:
         for i in range(self.start_epoch, args.num_epochs):
             epoch = i + 1
             t0 = time.time()
-            self.train_epoch(epoch, loader)
+            if args.get("profile") and i == self.start_epoch:
+                # device+host trace of the first epoch (replaces the
+                # reference's --bottleneck truncation mode, SURVEY.md §5)
+                with jax.profiler.trace(str(self.out_dir / "profile")):
+                    self.train_epoch(epoch, loader)
+            else:
+                self.train_epoch(epoch, loader)
             logger.info(
                 f"epoch {epoch}: "
                 + " ".join(f"{k}={self.losses[k][-1]:.4f}" for k in self.d_loss_keys + ["G"])

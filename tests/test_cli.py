@@ -1,0 +1,56 @@
+"""CLI entry points end-to-end: training via argv, generation from a
+reference torch checkpoint, parser flag surface."""
+
+import numpy as np
+import pytest
+
+from mpgan_tpu.cli.args import build_parser, parse_cli
+
+
+def test_parser_flag_surface():
+    args = parse_cli(
+        ["--name", "t", "--model", "mpgan", "--jets", "q", "--no-mask-c",
+         "--fe", "64", "128", "--batch-size", "17", "--spectral-norm"]
+    )
+    assert args.name == "t" and args.jets == "q"
+    assert args.mask_c is False
+    assert args.fe == [64, 128]
+    assert args.batch_size == 17
+    # processing cascade ran: spectral-norm fans out, quark LRs applied
+    assert args.spectral_norm_gen and args.spectral_norm_disc
+    assert args.lr_disc == pytest.approx(1.5e-5)
+
+
+def test_train_cli_smoke(tmp_path):
+    from mpgan_tpu.cli.train import main
+
+    main([
+        "--name", "cli_smoke", "--model", "mpgan", "--jets", "g",
+        "--num-hits", "8", "--hidden-node-size", "8", "--fe", "12", "--fn", "16",
+        "--batch-size", "16", "--num-epochs", "1", "--save-epochs", "1",
+        "--eval-tot-samples", "64", "--w1-num-samples", "50",
+        "--dir-path", str(tmp_path), "--gen-dropout", "0", "--disc-dropout", "0",
+        "--no-load-model", "--break-zero",
+    ])
+    assert (tmp_path / "cli_smoke" / "models" / "state_1.npz").exists()
+    assert (tmp_path / "cli_smoke" / "cli_smoke_args.txt").exists()
+
+
+def test_gen_cli_from_torch_weights(tmp_path, reference_path):
+    """gen CLI: reference mp_g torch checkpoint -> unnormalized jets npy
+    (gen.py:85-145 protocol)."""
+    from mpgan_tpu.cli.gen import main
+
+    out = tmp_path / "jets.npy"
+    main([
+        "--g-args", str(reference_path / "trained_models/mp_g/args.txt"),
+        "--g-state", str(reference_path / "trained_models/mp_g/G_best_epoch.pt"),
+        "--num-samples", "64", "--batch-size", "32", "--output-file", str(out),
+    ])
+    jets = np.load(out)
+    assert jets.shape == (64, 30, 3)
+    assert (jets[:, :, 2] >= 0).all()  # pT clamped
+    # unnormalized eta range within the gluon feature max
+    assert np.abs(jets[:, :, 0]).max() <= 1.46
+    # masked particles zeroed
+    assert (np.abs(jets).sum(-1) == 0).any()
