@@ -73,9 +73,74 @@ def bench_generator(
     return batch * ITERS / best
 
 
+def bench_train_step(num_particles: int, batch: int) -> float:
+    """Full GAN train step (D update + G update) per-step milliseconds on the
+    flagship config with the fused kernel (disc dropout runs in-kernel)."""
+    from mpgan_tpu.models.mpgan import (
+        mp_discriminator_apply,
+        mp_discriminator_init,
+        mp_generator_apply,
+        mp_generator_init,
+    )
+    from mpgan_tpu.training.config import (
+        build_mpgan_discriminator,
+        build_mpgan_generator,
+        from_args_dict,
+    )
+    from mpgan_tpu.training.optimizers import build_optimizer
+    from mpgan_tpu.training.sampling import NoiseSpec
+    from mpgan_tpu.training.train_step import StepConfig, init_train_state, make_train_steps
+
+    args = from_args_dict(
+        {"model": "mpgan", "jets": "g", "num_hits": num_particles, "use_pallas": True}
+    )
+    g_cfg = build_mpgan_generator(args)
+    d_cfg = build_mpgan_discriminator(args)
+    spec = NoiseSpec((num_particles, 32), 0.2)
+    g_opt = build_optimizer("rmsprop", args.lr_gen)
+    d_opt = build_optimizer("rmsprop", args.lr_disc)
+    state = init_train_state(
+        jax.random.PRNGKey(0), mp_generator_init, mp_discriminator_init,
+        g_cfg, d_cfg, g_opt, d_opt,
+    )
+    d_step, g_step = make_train_steps(
+        step_cfg=StepConfig(loss="ls"),
+        g_apply=mp_generator_apply, d_apply=mp_discriminator_apply,
+        g_cfg=g_cfg, d_cfg=d_cfg, spec=spec, g_opt=g_opt, d_opt=d_opt,
+    )
+    rng = np.random.default_rng(0)
+    counts = rng.integers(1, num_particles + 1, size=batch)
+    mask = (np.arange(num_particles)[None, :] < counts[:, None]).astype(np.float32)[..., None]
+    data = jnp.asarray(
+        np.concatenate(
+            [np.tanh(rng.normal(size=(batch, num_particles, 3))).astype(np.float32) * mask,
+             mask - 0.5], axis=2,
+        )
+    )
+    labels = jnp.asarray((counts / num_particles)[:, None].astype(np.float32))
+
+    @jax.jit
+    def run(state, data, labels):
+        def body(i, st):
+            st, _ = d_step(st, data, labels)
+            st, _ = g_step(st, data, labels)
+            return st
+        st = jax.lax.fori_loop(0, ITERS, body, state)
+        return jnp.sum(st.g_params["mp_layers"][0]["fe"]["layers"][0]["w"])
+
+    float(run(state, data, labels))
+    best = float("inf")
+    for _ in range(REPEATS):
+        t = time.perf_counter()
+        float(run(state, data, labels))
+        best = min(best, time.perf_counter() - t)
+    return best / ITERS * 1e3
+
+
 def main() -> None:
     jets_150 = bench_generator(150, batch=512)
     jets_30 = bench_generator(30, batch=4096)
+    train_ms_30 = bench_train_step(30, batch=256)
 
     result = {
         "metric": "mpgan_generation_jets_per_sec_per_chip_150p",
@@ -86,6 +151,7 @@ def main() -> None:
             "jets_per_sec_30p": round(jets_30, 1),
             "vs_baseline_30p": round(jets_30 / BASELINE_30P_JETS_PER_SEC, 2),
             "baseline_150p_jets_per_sec": round(BASELINE_150P_JETS_PER_SEC, 1),
+            "train_step_ms_30p_b256": round(train_ms_30, 2),
             "device": str(jax.devices()[0]),
         },
     }

@@ -58,21 +58,27 @@ def _dleaky(x, alpha):
 # ---------------------------------------------------------------------------
 
 
-def _dropmul(shape, dropout_p, seed, salt):
+def _dropmul(shape, dropout_p, seed, salt, gidx):
     """Dropout multiplier tensor: 1/keep with prob keep, else 0 (torch
-    semantics), from a *stateless* counter-based hash (murmur3 finalizer) of
-    (program id, element index, layer salt, seed).
+    semantics), from a *stateless* hash (murmur3 finalizer) of the GLOBAL
+    element index, the feature column, the layer salt and the seed.
 
-    Stateless generation means the backward rematerialization replays the
-    exact forward masks with no PRNG state to carry, and the kernel behaves
-    identically on TPU and in interpret mode."""
+    Keying on the global (jet, receiver, sender) index — not the
+    block-local position — makes the masks independent of the kernel's
+    blocking mode, so the backward pass replays the forward masks exactly
+    even when it uses a different jet/receiver block size; it also behaves
+    identically on TPU and in interpret mode.
+
+    ``gidx``: uint32 ``[rows, 1]`` global pair index for the flattened rows.
+    """
     keep = 1.0 - dropout_p
-    gid = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)).astype(jnp.uint32)
-    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    h = rows * np.uint32(shape[1]) + cols
-    h = h + gid * np.uint32(2654435761)
-    h = h + seed.astype(jnp.uint32) * np.uint32(0x9E3779B9) + np.uint32(salt * 0x7FEB352D)
+    h = (
+        gidx * np.uint32(0x9E3779B1)
+        + cols * np.uint32(0x85EBCA77)
+        + seed.astype(jnp.uint32) * np.uint32(0xC2B2AE3D)
+        + np.uint32((salt * 0x27D4EB2F) & 0xFFFFFFFF)
+    )
     h = h ^ (h >> 16)
     h = h * np.uint32(0x85EBCA6B)
     h = h ^ (h >> 13)
@@ -80,6 +86,28 @@ def _dropmul(shape, dropout_p, seed, salt):
     h = h ^ (h >> 16)
     threshold = np.uint32(min(int(dropout_p * 2**32), 2**32 - 1))
     return jnp.where(h >= threshold, 1.0 / keep, 0.0)
+
+
+def _gidx_receiver_mode(ti: int, n: int) -> jax.Array:
+    """Global pair index [(ti*n), 1] for (jet=pid0, receivers i*ti.., senders)."""
+    jet = pl.program_id(0)
+    i = pl.program_id(1)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (ti, n), 0) + jnp.uint32(i * ti)
+    s = jax.lax.broadcasted_iota(jnp.uint32, (ti, n), 1)
+    g = (jet.astype(jnp.uint32) * np.uint32(n) + r) * np.uint32(n) + s
+    return g.reshape(ti * n, 1)
+
+
+def _gidx_jets_mode(jb: int, n: int) -> jax.Array:
+    """Global pair index [(jb*n*n), 1] for jets pid*jb..pid*jb+jb-1."""
+    pid = pl.program_id(0)
+    jet = jax.lax.broadcasted_iota(jnp.uint32, (jb, n, n), 0) + pid.astype(
+        jnp.uint32
+    ) * np.uint32(jb)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (jb, n, n), 1)
+    s = jax.lax.broadcasted_iota(jnp.uint32, (jb, n, n), 2)
+    g = (jet * np.uint32(n) + r) * np.uint32(n) + s
+    return g.reshape(jb * n * n, 1)
 
 
 def _fwd_kernel(
@@ -103,6 +131,7 @@ def _fwd_kernel(
     out_ref = refs[base + 3 + 2 * (num_layers - 1)]
 
     seed = seed_ref[0] if dropout_p > 0 else None
+    gidx = _gidx_receiver_mode(ti, n) if dropout_p > 0 else None
 
     # broadcast-add in f32 (Mosaic can't shape-cast narrow bf16 vectors);
     # the MXU matmul chain runs in the weights' dtype with f32 accumulation
@@ -111,7 +140,7 @@ def _fwd_kernel(
     a = _leaky(u1[:, None, :] + u2[None, :, :], alpha)  # [TI, N, H1]
     a = a.reshape(ti * n, -1)
     if dropout_p > 0:
-        a = a * _dropmul(a.shape, dropout_p, seed, 0)
+        a = a * _dropmul(a.shape, dropout_p, seed, 0, gidx)
     for layer in range(num_layers - 1):
         w = wb[2 * layer][:]
         b = wb[2 * layer + 1][:]
@@ -124,7 +153,7 @@ def _fwd_kernel(
             alpha,
         )
         if dropout_p > 0:
-            a = a * _dropmul(a.shape, dropout_p, seed, layer + 1)
+            a = a * _dropmul(a.shape, dropout_p, seed, layer + 1, gidx)
     h_out = a.shape[-1]
     a = a.reshape(ti, n, h_out) * mask_ref[0][None, :, :].astype(jnp.float32)
     agg = jnp.sum(a, axis=1)
@@ -146,40 +175,191 @@ def _edge_aggregate_fwd_impl(
     dropout_p: float = 0.0,
 ) -> jax.Array:
     b_sz, n, h1 = u1.shape
-    ti = min(block_receivers, n)
-    grid = (b_sz, pl.cdiv(n, ti))
     num_layers = len(hidden) + 1
     h_out = hidden[-1][0].shape[1] if hidden else h1
+    jb = _pick_jb(b_sz, n, min(8, max(1, 4096 // (n * n)))) if n <= 64 else 1
 
     in_specs = []
     args = []
     if dropout_p > 0:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
-    in_specs += [
-        pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-    ]
+
+    if jb > 1:
+        grid = (b_sz // jb,)
+        in_specs += [
+            pl.BlockSpec((jb, n, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, n, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, n, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((jb, n, h_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(_fwd_kernel_jets, num_layers, alpha, sum_agg, jb, n, dropout_p)
+    else:
+        ti = min(block_receivers, n)
+        grid = (b_sz, pl.cdiv(n, ti))
+        in_specs += [
+            pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((1, ti, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(_fwd_kernel, num_layers, alpha, sum_agg, ti, n, dropout_p)
+
     args += [u1, u2, mask]
     for w, b in hidden:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.extend([w, b])
 
-    kernel = functools.partial(_fwd_kernel, num_layers, alpha, sum_agg, ti, n, dropout_p)
     flops = 2 * b_sz * n * n * sum(w.shape[0] * w.shape[1] for w, _ in hidden)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ti, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b_sz, n, h_out), u1.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=u1.size * 4 * 3, transcendentals=0
         ),
         interpret=_interpret(),
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# jet-blocked variant (small N): several whole jets per grid step
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
+    """Forward with JB whole jets per program — at N <= ~32 a single jet's
+    [N^2, H] matmul underfills the MXU; batching jets multiplies the row
+    count (e.g. 8 x 900 rows at N = 30)."""
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    u1_ref, u2_ref, mask_ref = refs[base], refs[base + 1], refs[base + 2]
+    wb = refs[base + 3 : base + 3 + 2 * (num_layers - 1)]
+    out_ref = refs[base + 3 + 2 * (num_layers - 1)]
+    seed = seed_ref[0] if dropout_p > 0 else None
+    gidx = _gidx_jets_mode(jb, n) if dropout_p > 0 else None
+
+    u1 = u1_ref[:].astype(jnp.float32)  # [JB, N, H]
+    u2 = u2_ref[:].astype(jnp.float32)
+    a = _leaky(u1[:, :, None, :] + u2[:, None, :, :], alpha)  # [JB, N, N, H]
+    a = a.reshape(jb * n * n, -1)
+    if dropout_p > 0:
+        a = a * _dropmul(a.shape, dropout_p, seed, 0, gidx)
+    for layer in range(num_layers - 1):
+        w = wb[2 * layer][:]
+        b = wb[2 * layer + 1][:]
+        a = _leaky(
+            jax.lax.dot_general(
+                a.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b.astype(jnp.float32),
+            alpha,
+        )
+        if dropout_p > 0:
+            a = a * _dropmul(a.shape, dropout_p, seed, layer + 1, gidx)
+    h_out = a.shape[-1]
+    a = a.reshape(jb, n, n, h_out) * mask_ref[:][:, None, :, :].astype(jnp.float32)
+    agg = jnp.sum(a, axis=2)
+    if not sum_agg:
+        agg = agg / n
+    out_ref[:] = agg.astype(out_ref.dtype)
+
+
+def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    refs = refs[base:]
+    u1_ref, u2_ref, mask_ref = refs[0], refs[1], refs[2]
+    wb = refs[3 : 3 + 2 * (num_layers - 1)]
+    g_ref = refs[3 + 2 * (num_layers - 1)]
+    out_off = 4 + 2 * (num_layers - 1)
+    du1_ref, du2_ref, dmask_ref = refs[out_off], refs[out_off + 1], refs[out_off + 2]
+    dwb = refs[out_off + 3 :]
+    seed = seed_ref[0] if dropout_p > 0 else None
+    gidx = _gidx_jets_mode(jb, n) if dropout_p > 0 else None
+
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        for r in dwb:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    u1 = u1_ref[:].astype(jnp.float32)
+    u2 = u2_ref[:].astype(jnp.float32)
+    mask = mask_ref[:].astype(jnp.float32)  # [JB, N, 1]
+
+    z = (u1[:, :, None, :] + u2[:, None, :, :]).reshape(jb * n * n, -1)
+    acts = [None] * num_layers
+    pre = [None] * num_layers
+    pre[0] = z
+    acts[0] = _leaky(z, alpha)
+    if dropout_p > 0:
+        acts[0] = acts[0] * _dropmul(acts[0].shape, dropout_p, seed, 0, gidx)
+    for layer in range(num_layers - 1):
+        w = wb[2 * layer][:]
+        bb = wb[2 * layer + 1][:]
+        zk = (
+            jax.lax.dot_general(
+                acts[layer].astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bb.astype(jnp.float32)
+        )
+        pre[layer + 1] = zk
+        acts[layer + 1] = _leaky(zk, alpha)
+        if dropout_p > 0:
+            acts[layer + 1] = acts[layer + 1] * _dropmul(
+                acts[layer + 1].shape, dropout_p, seed, layer + 1, gidx
+            )
+
+    g = g_ref[:].astype(jnp.float32)  # [JB, N, H_out]
+    if not sum_agg:
+        g = g / n
+    h_out = acts[-1].shape[-1]
+    a_last = acts[-1].reshape(jb, n, n, h_out)
+    dmask_ref[:] = jnp.sum(a_last * g[:, :, None, :], axis=(1, 3))[..., None].astype(
+        dmask_ref.dtype
+    )
+    da = (g[:, :, None, :] * mask[:, None, :, :]).reshape(jb * n * n, -1)
+
+    for layer in range(num_layers - 1, 0, -1):
+        if dropout_p > 0:
+            da = da * _dropmul(da.shape, dropout_p, seed, layer, gidx)
+        dz = da * _dleaky(pre[layer], alpha)
+        w = wb[2 * (layer - 1)][:].astype(jnp.float32)
+        dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
+            acts[layer - 1], dz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dwb[2 * (layer - 1)].dtype)
+        dwb[2 * (layer - 1) + 1][:] += jnp.sum(dz, axis=0).astype(
+            dwb[2 * (layer - 1) + 1].dtype
+        )
+        da = jax.lax.dot_general(
+            dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if dropout_p > 0:
+        da = da * _dropmul(da.shape, dropout_p, seed, 0, gidx)
+    dz1 = (da * _dleaky(pre[0], alpha)).reshape(jb, n, n, -1)
+    du1_ref[:] = jnp.sum(dz1, axis=2).astype(du1_ref.dtype)
+    du2_ref[:] = jnp.sum(dz1, axis=1).astype(du2_ref.dtype)
+
+
+def _pick_jb(b_sz: int, n: int, block_jets: int) -> int:
+    """Largest power-of-two jet block <= block_jets that divides the batch
+    (padded jets would contaminate the accumulated weight grads)."""
+    jb = 1
+    while jb * 2 <= block_jets and b_sz % (jb * 2) == 0:
+        jb *= 2
+    return jb
 
 
 # ---------------------------------------------------------------------------
@@ -242,18 +422,19 @@ def _bwd_kernel(
     mask = mask_ref[0].astype(jnp.float32)  # [N, 1]
 
     seed = seed_ref[0] if dropout_p > 0 else None
+    gidx = _gidx_receiver_mode(ti, n) if dropout_p > 0 else None
 
-    # recompute forward in f32, stashing pre-activations (and replayed
-    # dropout multipliers, which fold into the activation derivative)
+    # recompute forward in f32, stashing pre-activations; dropout
+    # multipliers are regenerated (not stored) wherever needed — the
+    # stateless hash makes replay free and saves a full activation-set of
+    # VMEM in this backward
     z = (u1[:, None, :] + u2[None, :, :]).reshape(ti * n, -1)
     acts = [None] * num_layers  # post-activation (incl. dropout) per layer
     pre = [None] * num_layers  # pre-activation per layer
-    drops = [None] * num_layers
     pre[0] = z
     acts[0] = _leaky(z, alpha)
     if dropout_p > 0:
-        drops[0] = _dropmul(acts[0].shape, dropout_p, seed, 0)
-        acts[0] = acts[0] * drops[0]
+        acts[0] = acts[0] * _dropmul(acts[0].shape, dropout_p, seed, 0, gidx)
     for layer in range(num_layers - 1):
         w = wb[2 * layer][:]
         bb = wb[2 * layer + 1][:]
@@ -267,8 +448,9 @@ def _bwd_kernel(
         pre[layer + 1] = zk
         acts[layer + 1] = _leaky(zk, alpha)
         if dropout_p > 0:
-            drops[layer + 1] = _dropmul(acts[layer + 1].shape, dropout_p, seed, layer + 1)
-            acts[layer + 1] = acts[layer + 1] * drops[layer + 1]
+            acts[layer + 1] = acts[layer + 1] * _dropmul(
+                acts[layer + 1].shape, dropout_p, seed, layer + 1, gidx
+            )
 
     g = jnp.where(row_valid, g_ref[0].astype(jnp.float32), 0.0)  # [TI, H_out]
     if not sum_agg:
@@ -283,7 +465,7 @@ def _bwd_kernel(
 
     for layer in range(num_layers - 1, 0, -1):
         if dropout_p > 0:
-            da = da * drops[layer]
+            da = da * _dropmul(da.shape, dropout_p, seed, layer, gidx)
         dz = da * _dleaky(pre[layer], alpha)  # [TI*N, H_layer], f32
         w = wb[2 * (layer - 1)][:].astype(jnp.float32)
         # weight grads: acts[layer-1]^T @ dz
@@ -298,7 +480,7 @@ def _bwd_kernel(
         ).astype(da.dtype)
 
     if dropout_p > 0:
-        da = da * drops[0]
+        da = da * _dropmul(da.shape, dropout_p, seed, 0, gidx)
     dz1 = (da * _dleaky(pre[0], alpha)).reshape(ti, n, -1)
     du1_ref[0] = jnp.sum(dz1, axis=1).astype(du1_ref.dtype)
     du2_ref[0] += jnp.sum(dz1, axis=0).astype(du2_ref.dtype)
@@ -309,29 +491,46 @@ def _edge_aggregate_bwd_impl(
     dropout_p=0.0,
 ):
     b_sz, n, h1 = u1.shape
-    ti = min(block_receivers, n)
-    grid = (b_sz, pl.cdiv(n, ti))
     num_layers = len(hidden) + 1
     h_out = hidden[-1][0].shape[1] if hidden else h1
+    # backward holds all layer activations live; halve the jet block
+    jb = _pick_jb(b_sz, n, min(4, max(1, 2048 // (n * n)))) if n <= 64 else 1
 
     in_specs = []
     args = []
     if dropout_p > 0:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
-    in_specs += [
-        pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-    ]
+
+    if jb > 1:
+        grid = (b_sz // jb,)
+        blk = lambda feat: pl.BlockSpec((jb, n, feat), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        in_specs += [blk(h1), blk(h1), blk(1)]
+        g_spec = blk(h_out)
+        du_specs = [blk(h1), blk(h1), blk(1)]
+        kernel = functools.partial(_bwd_kernel_jets, num_layers, alpha, sum_agg, jb, n, dropout_p)
+    else:
+        ti = min(block_receivers, n)
+        grid = (b_sz, pl.cdiv(n, ti))
+        in_specs += [
+            pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        g_spec = pl.BlockSpec((1, ti, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        du_specs = [
+            pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        kernel = functools.partial(_bwd_kernel, num_layers, alpha, sum_agg, ti, n, dropout_p)
+
     args += [u1, u2, mask]
     for w, b in hidden:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.extend([w, b])
-    in_specs.append(
-        pl.BlockSpec((1, ti, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-    )
+    in_specs.append(g_spec)
     args.append(g)
 
     out_shapes = [
@@ -339,18 +538,12 @@ def _edge_aggregate_bwd_impl(
         jax.ShapeDtypeStruct((b_sz, n, h1), u1.dtype),  # du2 (accum over i)
         jax.ShapeDtypeStruct((b_sz, n, 1), u1.dtype),  # dmask
     ]
-    out_specs = [
-        pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-    ]
+    out_specs = list(du_specs)
     for w, b in hidden:
         out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-
-    kernel = functools.partial(_bwd_kernel, num_layers, alpha, sum_agg, ti, n, dropout_p)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -138,3 +138,31 @@ def test_fused_dropout():
         lambda u: jnp.sum(mpp.edge_aggregate(u, u2, mask, hidden, seed, 0.2, True, 8, 0.5) ** 2)
     )(u1)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fused_dropout_grad_replay_cross_mode():
+    """Finite-difference gradient check with dropout: the backward must
+    replay the forward's masks exactly even when fwd and bwd pick different
+    blocking modes (at n=40, b=2 the forward uses the jet-blocked kernel and
+    the backward the receiver-blocked one)."""
+    rng = np.random.RandomState(7)
+    b, n, h1, h2 = 2, 40, 24, 16
+    u1 = jnp.asarray(rng.randn(b, n, h1).astype(np.float32))
+    u2 = jnp.asarray(rng.randn(b, n, h1).astype(np.float32))
+    mask = jnp.ones((b, n, 1), jnp.float32)
+    hidden = (
+        jnp.asarray(rng.randn(h1, h2).astype(np.float32) * 0.2),
+        jnp.asarray(rng.randn(h2).astype(np.float32) * 0.2),
+    )
+    seed = jnp.asarray(7.0)
+
+    def f(u):
+        out = mpp.edge_aggregate(u, u2, mask, hidden, seed, 0.2, True, 8, 0.5)
+        return jnp.sum(jnp.sin(out))
+
+    g = jax.grad(f)(u1)
+    v = jnp.asarray(rng.randn(*u1.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (float(f(u1 + eps * v)) - float(f(u1 - eps * v))) / (2 * eps)
+    analytic = float(jnp.vdot(g, v))
+    np.testing.assert_allclose(analytic, fd, rtol=2e-2, atol=1e-3)
