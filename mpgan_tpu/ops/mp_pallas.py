@@ -58,23 +58,23 @@ def _dleaky(x, alpha):
 # ---------------------------------------------------------------------------
 
 
-def _dropmul(shape, dropout_p, seed, salt, gidx):
+def _dropmul(shape, dropout_p, seed, salt, offset):
     """Dropout multiplier tensor: 1/keep with prob keep, else 0 (torch
     semantics), from a *stateless* hash (murmur3 finalizer) of the GLOBAL
     element index, the feature column, the layer salt and the seed.
 
-    Keying on the global (jet, receiver, sender) index — not the
-    block-local position — makes the masks independent of the kernel's
-    blocking mode, so the backward pass replays the forward masks exactly
-    even when it uses a different jet/receiver block size; it also behaves
-    identically on TPU and in interpret mode.
-
-    ``gidx``: uint32 ``[rows, 1]`` global pair index for the flattened rows.
+    The rows of the flattened ``[rows, H]`` activation enumerate (receiver,
+    sender) pairs in global order, so the global pair index is just
+    ``offset + row`` with a per-program scalar ``offset`` — keying on it
+    (not the block-local position) makes the masks independent of the
+    kernel's blocking mode, so the backward replays the forward masks
+    exactly even when it picks a different jet/receiver block size.
     """
     keep = 1.0 - dropout_p
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + offset.astype(jnp.uint32)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     h = (
-        gidx * np.uint32(0x9E3779B1)
+        rows * np.uint32(0x9E3779B1)
         + cols * np.uint32(0x85EBCA77)
         + seed.astype(jnp.uint32) * np.uint32(0xC2B2AE3D)
         + np.uint32((salt * 0x27D4EB2F) & 0xFFFFFFFF)
@@ -88,26 +88,14 @@ def _dropmul(shape, dropout_p, seed, salt, gidx):
     return jnp.where(h >= threshold, 1.0 / keep, 0.0)
 
 
-def _gidx_receiver_mode(ti: int, n: int) -> jax.Array:
-    """Global pair index [(ti*n), 1] for (jet=pid0, receivers i*ti.., senders)."""
-    jet = pl.program_id(0)
-    i = pl.program_id(1)
-    r = jax.lax.broadcasted_iota(jnp.uint32, (ti, n), 0) + jnp.uint32(i * ti)
-    s = jax.lax.broadcasted_iota(jnp.uint32, (ti, n), 1)
-    g = (jet.astype(jnp.uint32) * np.uint32(n) + r) * np.uint32(n) + s
-    return g.reshape(ti * n, 1)
+def _pair_offset_receiver_mode(ti: int, n: int):
+    """Global index of this block's first (receiver, sender) pair: rows run
+    jet-major then receiver-major then sender."""
+    return pl.program_id(0) * (n * n) + pl.program_id(1) * (ti * n)
 
 
-def _gidx_jets_mode(jb: int, n: int) -> jax.Array:
-    """Global pair index [(jb*n*n), 1] for jets pid*jb..pid*jb+jb-1."""
-    pid = pl.program_id(0)
-    jet = jax.lax.broadcasted_iota(jnp.uint32, (jb, n, n), 0) + pid.astype(
-        jnp.uint32
-    ) * np.uint32(jb)
-    r = jax.lax.broadcasted_iota(jnp.uint32, (jb, n, n), 1)
-    s = jax.lax.broadcasted_iota(jnp.uint32, (jb, n, n), 2)
-    g = (jet * np.uint32(n) + r) * np.uint32(n) + s
-    return g.reshape(jb * n * n, 1)
+def _pair_offset_jets_mode(jb: int, n: int):
+    return pl.program_id(0) * (jb * n * n)
 
 
 def _fwd_kernel(
@@ -131,7 +119,7 @@ def _fwd_kernel(
     out_ref = refs[base + 3 + 2 * (num_layers - 1)]
 
     seed = seed_ref[0] if dropout_p > 0 else None
-    gidx = _gidx_receiver_mode(ti, n) if dropout_p > 0 else None
+    gidx = _pair_offset_receiver_mode(ti, n) if dropout_p > 0 else None
 
     # broadcast-add in f32 (Mosaic can't shape-cast narrow bf16 vectors);
     # the MXU matmul chain runs in the weights' dtype with f32 accumulation
@@ -221,6 +209,7 @@ def _edge_aggregate_fwd_impl(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=u1.size * 4 * 3, transcendentals=0
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*args)
 
@@ -242,7 +231,7 @@ def _fwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
     wb = refs[base + 3 : base + 3 + 2 * (num_layers - 1)]
     out_ref = refs[base + 3 + 2 * (num_layers - 1)]
     seed = seed_ref[0] if dropout_p > 0 else None
-    gidx = _gidx_jets_mode(jb, n) if dropout_p > 0 else None
+    gidx = _pair_offset_jets_mode(jb, n) if dropout_p > 0 else None
 
     u1 = u1_ref[:].astype(jnp.float32)  # [JB, N, H]
     u2 = u2_ref[:].astype(jnp.float32)
@@ -284,7 +273,7 @@ def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
     du1_ref, du2_ref, dmask_ref = refs[out_off], refs[out_off + 1], refs[out_off + 2]
     dwb = refs[out_off + 3 :]
     seed = seed_ref[0] if dropout_p > 0 else None
-    gidx = _gidx_jets_mode(jb, n) if dropout_p > 0 else None
+    gidx = _pair_offset_jets_mode(jb, n) if dropout_p > 0 else None
 
     pid = pl.program_id(0)
 
@@ -422,7 +411,7 @@ def _bwd_kernel(
     mask = mask_ref[0].astype(jnp.float32)  # [N, 1]
 
     seed = seed_ref[0] if dropout_p > 0 else None
-    gidx = _gidx_receiver_mode(ti, n) if dropout_p > 0 else None
+    gidx = _pair_offset_receiver_mode(ti, n) if dropout_p > 0 else None
 
     # recompute forward in f32, stashing pre-activations; dropout
     # multipliers are regenerated (not stored) wherever needed — the
@@ -550,6 +539,7 @@ def _edge_aggregate_bwd_impl(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*args)
     du1, du2, dmask = outs[0], outs[1], outs[2]
