@@ -96,6 +96,7 @@ class JetNetDataset:
         split_fraction: tuple[float, float] = (0.7, 0.3),
         mask_feature: bool = True,
         num_particles_label: bool = True,
+        real_only: bool = False,
         synthetic: bool | None = None,
         synthetic_num_jets: int = 50000,
         seed: int = 42,
@@ -120,6 +121,12 @@ class JetNetDataset:
             )
         else:
             particles, jet_counts = _load_hdf5(path, num_particles)
+
+        if real_only:
+            # keep only jets with all-real particles (--real-only,
+            # setup_training.py:169)
+            full = jet_counts[:, 0] >= num_particles
+            particles, jet_counts = particles[full], jet_counts[full]
 
         shifts = [0.0, 0.0, -0.5, -0.5] if mask_feature else [0.0, 0.0, -0.5]
         maxes = FPND_FEATURE_MAXES.get(jet_type)

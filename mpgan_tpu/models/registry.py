@@ -39,6 +39,9 @@ class ModelSuite:
     encode_real: Callable | None = None
     # decodes generator output into clouds at eval time (PCGAN G_pc)
     decode_eval: Callable | None = None
+    # post-generation hook applied to G output (mask_manual pT cutoff,
+    # train.py:208-210)
+    post_gen: Callable | None = None
 
 
 def _model_args(args: cfg_mod.Args) -> dict[str, Any]:
@@ -57,7 +60,7 @@ def _model_args(args: cfg_mod.Args) -> dict[str, Any]:
     }
 
 
-def build_suite(args: cfg_mod.Args) -> ModelSuite:
+def build_suite(args: cfg_mod.Args, pcgan_weights_dir: str | None = None) -> ModelSuite:
     model = args.model
     model_d = args.model_D or {"mpgan": "mpgan", "pcgan": "pcgan", "gapt": "gapt"}.get(
         model, "rgan"
@@ -96,6 +99,20 @@ def build_suite(args: cfg_mod.Args) -> ModelSuite:
     else:
         raise ValueError(f"unknown model_D {model_d!r}")
 
+    encode_real = decode_eval = None
+    if model == "pcgan":
+        encode_real, decode_eval = _pcgan_hooks(args, pcgan_weights_dir)
+
+    post_gen = None
+    if args.get("mask_manual"):
+        from ..ops.masking import mask_manual as _mask_manual
+
+        def post_gen(gen_data):
+            # pT cutoff 0 (the reference's placeholder, setup_training.py:1495)
+            return _mask_manual(
+                gen_data, 0.0, mask_exp=args.mask_exp, mask_real_only=args.mask_real_only
+            )
+
     return ModelSuite(
         model=model,
         model_d=model_d,
@@ -106,4 +123,54 @@ def build_suite(args: cfg_mod.Args) -> ModelSuite:
         g_apply=g_apply,
         d_apply=d_apply,
         noise=spec,
+        encode_real=encode_real,
+        decode_eval=decode_eval,
+        post_gen=post_gen,
     )
+
+
+def _pcgan_hooks(args: cfg_mod.Args, weights_dir: str | None):
+    """PCGAN's pre-trained inference net encodes real clouds to latents for
+    training (train.py:837-839) and the point decoder turns generated
+    latents back into clouds at eval (train.py:212-213). The shipped
+    ``pcgan_G_inv_<jet>.pt`` / ``pcgan_G_pc_<jet>.pt`` weights load from
+    ``weights_dir`` (setup_training.py:1429-1456); without them the hooks
+    are unavailable and training/eval of the pcgan family raises."""
+    import pathlib
+
+    from ..utils.torch_import import load_torch_state_dict
+    from .ext.pcgan import (
+        PCGANConfig,
+        g_inv_apply,
+        g_inv_weights_from_torch,
+        g_pc_apply,
+        g_pc_weights_from_torch,
+    )
+
+    if weights_dir is None:
+        return None, None
+    cfg = PCGANConfig(
+        node_feat_size=args.node_feat_size,
+        latent_dim=args.pcgan_latent_dim,
+        z1_dim=args.pcgan_z1_dim,
+        z2_dim=args.pcgan_z2_dim,
+        d_dim=args.pcgan_d_dim,
+        pool=args.pcgan_pool,
+    )
+    inv_path = pathlib.Path(weights_dir) / f"pcgan_G_inv_{args.jets}.pt"
+    encode_real = None
+    if inv_path.exists():
+        inv_params, inv_state = g_inv_weights_from_torch(load_torch_state_dict(str(inv_path)), cfg)
+
+        def encode_real(x):
+            return g_inv_apply(cfg, inv_params, inv_state, x)[0]
+
+    pc_path = pathlib.Path(weights_dir) / f"pcgan_G_pc_{args.jets}.pt"
+    decode_eval = None
+    if pc_path.exists():
+        pc_params, pc_state = g_pc_weights_from_torch(load_torch_state_dict(str(pc_path)), cfg)
+
+        def decode_eval(latents, point_noise):
+            return g_pc_apply(cfg, pc_params, pc_state, latents[:, None, :], point_noise)[0]
+
+    return encode_real, decode_eval

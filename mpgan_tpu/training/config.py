@@ -100,7 +100,7 @@ def defaults() -> dict[str, Any]:
         graphcnng_layers=[32, 24], graphcnng_tanh=False,
         treegang_degrees=[2, 2, 2, 2, 2], treegang_features=[96, 64, 64, 64, 64, 3],
         treegang_support=10, pcgan_latent_dim=128, pcgan_z1_dim=256,
-        pcgan_z2_dim=10, pcgan_d_dim=256, pcgan_pool="max1",
+        pcgan_z2_dim=10, pcgan_d_dim=256, pcgan_pool="max1", pcgan_weights_dir="",
         # framework-specific (no reference counterpart)
         compute_dtype="float32", use_pallas=False, mesh_shape=None, profile=False,
     )

@@ -44,7 +44,9 @@ class Trainer:
         fpnd_fn=None,
     ):
         self.args = args
-        self.suite = suite or build_suite(args)
+        self.suite = suite or build_suite(
+            args, pcgan_weights_dir=args.get("pcgan_weights_dir") or None
+        )
         self.train_dataset = train_dataset
         self.valid_dataset = valid_dataset
         self.fpnd_fn = fpnd_fn
@@ -91,6 +93,7 @@ class Trainer:
             d_opt=d_opt,
             use_labels=self.use_labels,
             encode_real=self.suite.encode_real,
+            post_gen=self.suite.post_gen,
         )
 
         n_batch_args = 2 if self.use_labels else 1
@@ -184,11 +187,16 @@ class Trainer:
         )
 
         labels = ds.jet_data[:n_eval] if self.use_labels else None
+        post_fn = None
+        if self.suite.decode_eval is not None:
+            post_fn = self.suite.decode_eval
+        elif self.suite.post_gen is not None:
+            post_fn = lambda out, point_noise: self.suite.post_gen(out)  # noqa: E731
         gen_norm = generate_multi_batch(
             self.suite.g_apply, self.suite.g_cfg,
             self.state.g_params, self.state.g_state,
             self.suite.noise, jax.random.PRNGKey(epoch), n_eval, args.batch_size,
-            labels=labels,
+            labels=labels, post_fn=post_fn,
         )
         gen_jets, gen_mask = _corrected(
             ds.particle_normalisation(gen_norm, inverse=True),

@@ -91,6 +91,7 @@ def make_train_steps(
     d_opt: optax.GradientTransformation,
     use_labels: bool = True,
     encode_real: Callable[[jax.Array], jax.Array] | None = None,
+    post_gen: Callable[[jax.Array], jax.Array] | None = None,
 ) -> tuple[Callable, Callable]:
     """Build ``(d_step, g_step)`` pure functions.
 
@@ -100,7 +101,8 @@ def make_train_steps(
 
     ``encode_real`` optionally maps real clouds into the training
     representation before D sees them (PCGAN's pre-trained ``G_inv`` latent
-    encoding, train.py:837-839).
+    encoding, train.py:837-839); ``post_gen`` applies post-generation hooks
+    to G's output (mask_manual pT cutoff, train.py:208-210).
     """
     aug_cfg = step_cfg.augment if (step_cfg.augment and step_cfg.augment.any) else None
 
@@ -128,6 +130,8 @@ def make_train_steps(
             fake, g_state1 = g_apply(
                 g_cfg, state.g_params, state.g_state, noise, labels, train=False
             )
+            if post_gen is not None:
+                fake = post_gen(fake)
             data_aug = _maybe_aug(k_aug_r, data)
             fake_aug = _maybe_aug(k_aug_f, fake)
             fake_out, d_state2 = d_apply(
@@ -176,6 +180,8 @@ def make_train_steps(
             fake, g_state1 = g_apply(
                 g_cfg, g_params, state.g_state, noise, labels, train=True, rng=k_g
             )
+            if post_gen is not None:
+                fake = post_gen(fake)
             fake = _maybe_aug(k_aug, fake)
             # D stays in train mode during the G step (no D.eval() in train_G)
             fake_out, d_state1 = d_apply(
