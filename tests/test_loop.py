@@ -97,6 +97,10 @@ def test_trainer_wgan_rgan(tmp_path):
         fpd=False, num_epochs=1, batch_size=50,
     )
     assert args.loss == "w" and args.gp == 10 and args.num_critic == 5
+    # the rgan preset pins num_epochs=2000 (like the reference); re-shrink
+    # for the smoke test
+    args.num_epochs = 1
+    args.save_epochs = 1
     # rgan runs unmasked (process_masking: mask only for mpgan/gapt)
     train_ds, valid_ds = _datasets(mask_feature=False)
     trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
