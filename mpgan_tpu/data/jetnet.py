@@ -18,7 +18,7 @@ via ``1/N`` scaling; deterministic [train, valid] split in file order
 
 from __future__ import annotations
 
-import os
+
 import pathlib
 
 import numpy as np

@@ -272,7 +272,6 @@ def old_mpgan_apply(
 def old_mpgan_from_torch(sd, cfg: OldMPGANConfig):
     """Import a ``Graph_GAN`` state dict (fe.{i}.{j}.* / fn.{i}.{j}.* /
     fnd.{i}.* / lfc.* / fmg.{i}.*, incl. spectral-norm wrapped layers)."""
-    import numpy as np
 
     from ..utils.torch_import import _arr
 

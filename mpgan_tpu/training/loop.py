@@ -28,7 +28,7 @@ from . import checkpoint as ckpt
 from .config import Args
 from .optimizers import build_optimizer
 from .sampling import generate_multi_batch
-from .train_step import StepConfig, TrainState, init_train_state, make_train_steps
+from .train_step import StepConfig, init_train_state, make_train_steps
 
 logger = logging.getLogger(__name__)
 

@@ -28,7 +28,7 @@ import dataclasses
 from typing import Any, Callable, NamedTuple
 
 import jax
-import jax.numpy as jnp
+
 import optax
 
 from ..ops.augment import AugmentConfig, augment
