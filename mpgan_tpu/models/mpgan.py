@@ -103,7 +103,8 @@ class MPGeneratorConfig:
     lfc: bool = False
     lfc_latent_size: int = 128
     fmg_cfg: MLPConfig | None = None
-    use_pallas: bool = False
+    # None = auto: fused Pallas kernel on TPU, jnp path elsewhere
+    use_pallas: bool | None = None
 
     @staticmethod
     def build(
@@ -123,7 +124,7 @@ class MPGeneratorConfig:
         mp_args: dict[str, Any] | None = None,
         mp_args_first_layer: dict[str, Any] | None = None,
         linear_args: dict[str, Any] | None = None,
-        use_pallas: bool = False,
+        use_pallas: bool | None = None,
     ) -> "MPGeneratorConfig":
         layers = _build_layers(
             num_particles, input_node_size, mp_iters, list(fe_layers), list(fn_layers),
@@ -262,7 +263,8 @@ class MPDiscriminatorConfig:
     dea_sum: bool = True
     fnd_cfg: MLPConfig | None = None
     mask_manual: bool = False
-    use_pallas: bool = False
+    # None = auto: fused Pallas kernel on TPU, jnp path elsewhere
+    use_pallas: bool | None = None
 
     @property
     def use_mask(self) -> bool:
@@ -292,7 +294,7 @@ class MPDiscriminatorConfig:
         mp_args: dict[str, Any] | None = None,
         mp_args_first_layer: dict[str, Any] | None = None,
         linear_args: dict[str, Any] | None = None,
-        use_pallas: bool = False,
+        use_pallas: bool | None = None,
     ) -> "MPDiscriminatorConfig":
         output_node_size = 1 if not dea else hidden_node_size
         layers = _build_layers(

@@ -288,12 +288,16 @@ def mp_layer_apply(
     train: bool = False,
     rng: jax.Array | None = None,
     update_sn: bool = True,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
 ) -> tuple[jax.Array, dict]:
     """One message-passing iteration (mpgan/model.py:206-282).
 
     ``x: [B, N, input_node_size]`` -> ``[B, N, output_node_size]``.
+    ``use_pallas=None`` auto-selects: the fused kernel on TPU, the jnp path
+    elsewhere (the kernel only runs interpreted off-TPU).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas and fused_eligible(cfg, train):
         fn_rng = jax.random.split(rng)[1] if rng is not None else None
         return _mp_layer_apply_fused(

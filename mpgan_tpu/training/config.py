@@ -102,7 +102,7 @@ def defaults() -> dict[str, Any]:
         treegang_support=10, pcgan_latent_dim=128, pcgan_z1_dim=256,
         pcgan_z2_dim=10, pcgan_d_dim=256, pcgan_pool="max1", pcgan_weights_dir="",
         # framework-specific (no reference counterpart)
-        compute_dtype="float32", use_pallas=False, mesh_shape=None, profile=False,
+        compute_dtype="float32", use_pallas=None, mesh_shape=None, profile=False,
     )
 
 
@@ -350,7 +350,7 @@ def build_mpgan_generator(args: Args) -> MPGeneratorConfig:
         mp_args=_mp_args(args),
         mp_args_first_layer={"clabels": clabels_fl},
         linear_args=_linear_args(args, gen=True),
-        use_pallas=args.get("use_pallas", False),
+        use_pallas=args.get("use_pallas"),
     )
 
 
@@ -373,7 +373,7 @@ def build_mpgan_discriminator(args: Args) -> MPDiscriminatorConfig:
         mp_args=_mp_args(args),
         mp_args_first_layer={"clabels": clabels_fl, "all_ef": False},
         linear_args=_linear_args(args, gen=False),
-        use_pallas=args.get("use_pallas", False),
+        use_pallas=args.get("use_pallas"),
     )
 
 

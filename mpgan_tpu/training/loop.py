@@ -44,6 +44,12 @@ class Trainer:
         fpnd_fn=None,
     ):
         self.args = args
+        if (mesh is not None or args.get("mesh_shape")) and args.get("use_pallas") is None:
+            # XLA's SPMD partitioner cannot shard the Pallas custom call on
+            # its own; under a mesh the auto mode falls back to the jnp path
+            # (pass --use-pallas explicitly to override, e.g. with a
+            # shard_map-wrapped step)
+            args.use_pallas = False
         self.suite = suite or build_suite(
             args, pcgan_weights_dir=args.get("pcgan_weights_dir") or None
         )
