@@ -1,0 +1,107 @@
+"""Fused knn edge kernel vs the jnp knn path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpgan_tpu.ops.mp import MPLayerConfig, mp_layer_apply, mp_layer_init
+
+
+def _data(b=2, n=20, f=8, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, n, f).astype(np.float32) * 0.3)
+    counts = rng.randint(n // 2, n + 1, size=b)
+    mask = jnp.asarray(
+        (np.arange(n)[None, :] < counts[:, None]).astype(np.float32)[..., None]
+    )
+    return x, mask
+
+
+@pytest.mark.parametrize("pos_diffs,self_loops,masked", [
+    (False, True, True),
+    (True, True, False),
+    (True, False, True),
+])
+def test_fused_knn_matches_jnp(pos_diffs, self_loops, masked):
+    cfg = MPLayerConfig.build(
+        8, [24, 16], [32], 8, fully_connected=False, num_knn=5,
+        pos_diffs=pos_diffs, all_ef=True, self_loops=self_loops,
+    )
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data()
+    mask = mask if masked else None
+
+    y_ref, _ = mp_layer_apply(cfg, params, state, x, mask=mask, use_pallas=False)
+    y_fused, _ = mp_layer_apply(cfg, params, state, x, mask=mask, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), rtol=5e-4, atol=1e-5)
+
+
+def test_fused_knn_gradients_match():
+    cfg = MPLayerConfig.build(
+        8, [24, 16], [32], 8, fully_connected=False, num_knn=5, pos_diffs=True
+    )
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data()
+
+    def loss(params, use_pallas):
+        y, _ = mp_layer_apply(cfg, params, state, x, mask=mask, use_pallas=use_pallas)
+        return jnp.sum(y**2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fused = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def _hash_dropmul_jnp(shape, p, seed, salt, offset):
+    """jnp re-derivation of the kernel's stateless dropout hash — pins the
+    hash semantics so fwd/bwd replay can be checked exactly."""
+    rows = jnp.broadcast_to(
+        jnp.arange(shape[0], dtype=jnp.uint32)[:, None] + jnp.uint32(offset), shape
+    )
+    cols = jnp.broadcast_to(jnp.arange(shape[1], dtype=jnp.uint32)[None, :], shape)
+    h = (
+        rows * jnp.uint32(0x9E3779B1)
+        + cols * jnp.uint32(0x85EBCA77)
+        + jnp.uint32(seed) * jnp.uint32(0xC2B2AE3D)
+        + jnp.uint32((salt * 0x27D4EB2F) & 0xFFFFFFFF)
+    )
+    h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
+    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    thr = jnp.uint32(min(int(p * 2**32), 2**32 - 1))
+    return jnp.where(h >= thr, 1.0 / (1.0 - p), 0.0)
+
+
+def test_fused_knn_dropout_exact_grad_replay():
+    """With the dropout hash emulated in jnp, the kernel's forward AND
+    custom-VJP gradient must match jnp autograd exactly (any fwd/bwd mask
+    replay mismatch would show here)."""
+    from mpgan_tpu.ops.knn_pallas import knn_edge_aggregate
+
+    rng = np.random.RandomState(5)
+    b, n, k, fe_in, h1 = 2, 12, 4, 17, 24
+    a0 = jnp.asarray(rng.randn(b, n * k, fe_in).astype(np.float32) * 0.4)
+    amask = jnp.asarray((rng.rand(b, n, k, 1) > 0.2).astype(np.float32))
+    w = jnp.asarray(rng.randn(fe_in, h1).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.randn(h1).astype(np.float32) * 0.1)
+    seed = jnp.asarray(3.0)
+
+    def f(a):
+        out = knn_edge_aggregate(a, amask, (w, bias), seed, 0.2, True, k, 0.5)
+        return jnp.sum(jnp.sin(out))
+
+    def ref_f(a):
+        outs = []
+        for jet in range(b):
+            z = a[jet] @ w + bias
+            act = jnp.maximum(z, 0.2 * z)
+            act = act * _hash_dropmul_jnp(act.shape, 0.5, 3, 0, jet * (n * k))
+            outs.append((act.reshape(n, k, h1) * amask[jet]).sum(1))
+        return jnp.sum(jnp.sin(jnp.stack(outs)))
+
+    np.testing.assert_allclose(float(f(a0)), float(ref_f(a0)), rtol=1e-6)
+    g = jax.grad(f)(a0)
+    g_ref = jax.grad(ref_f)(a0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
