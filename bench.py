@@ -36,14 +36,17 @@ REPEATS = 3
 
 
 def bench_generator(
-    num_particles: int, batch: int, use_pallas: bool = True
+    num_particles: int, batch: int, use_pallas: bool = True, num_knn: int | None = None
 ) -> float:
     from mpgan_tpu.models.mpgan import mp_generator_apply, mp_generator_init
     from mpgan_tpu.training.config import build_mpgan_generator, from_args_dict
 
-    args = from_args_dict(
-        {"model": "mpgan", "jets": "g", "num_hits": num_particles, "use_pallas": use_pallas}
-    )
+    overrides = {
+        "model": "mpgan", "jets": "g", "num_hits": num_particles, "use_pallas": use_pallas,
+    }
+    if num_knn is not None:
+        overrides.update({"fully_connected": False, "num_knn": num_knn})
+    args = from_args_dict(overrides)
     g_cfg = build_mpgan_generator(args)
     params, state = mp_generator_init(jax.random.PRNGKey(0), g_cfg)
 
@@ -139,6 +142,7 @@ def bench_train_step(num_particles: int, batch: int) -> float:
 
 def main() -> None:
     jets_150 = bench_generator(150, batch=512)
+    jets_150_knn = bench_generator(150, batch=512, num_knn=20)
     jets_30 = bench_generator(30, batch=4096)
     train_ms_30 = bench_train_step(30, batch=256)
 
@@ -151,6 +155,10 @@ def main() -> None:
             "jets_per_sec_30p": round(jets_30, 1),
             "vs_baseline_30p": round(jets_30 / BASELINE_30P_JETS_PER_SEC, 2),
             "baseline_150p_jets_per_sec": round(BASELINE_150P_JETS_PER_SEC, 1),
+            # knn-20 at 150p: the reference's own large-cloud mode
+            # (setup_training.py:826-834), fused gather-in-kernel path
+            "jets_per_sec_150p_knn20": round(jets_150_knn, 1),
+            "vs_baseline_150p_knn20": round(jets_150_knn / BASELINE_150P_JETS_PER_SEC, 2),
             "train_step_ms_30p_b256": round(train_ms_30, 2),
             "device": str(jax.devices()[0]),
         },

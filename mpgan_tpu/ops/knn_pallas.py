@@ -1,27 +1,27 @@
-"""Fused Pallas kernel for knn message passing: rowwise edge-MLP + masked
-k-neighbour aggregation.
+"""Fused Pallas kernel for knn message passing.
 
 The knn variant (``--fully-connected=False --num-knn k``, mpgan/model.py:
 319-381) is the reference's own prescription for large clouds
-(setup_training.py:826-834): the edge tensor shrinks from N^2 to N*k pairs
-(7.5x at N=150, k=20). The neighbour search + gather stays in XLA (argsort
-over the dense distance matrix + take_along_axis — cheap and well-supported);
-this kernel fuses everything downstream, which is where the HBM traffic
-lives: the full edge-MLP chain over ``[B, N*k, fe_in]`` with all
-intermediates in VMEM, then the masked sum/mean over each receiver's k
-neighbours.
+(setup_training.py:826-834): N*k edge pairs instead of N^2 (7.5x fewer at
+N=150, k=20). XLA computes the neighbour indices (pairwise distances +
+``lax.top_k``); everything downstream is fused here:
 
-Unlike the dense kernel (mp_pallas.py) there is no receiver/sender
-decomposition — pair rows arrive pre-gathered (they include the distance
-edge feature and any conditioning columns) — so the first MLP layer is part
-of the in-kernel chain. Dropout uses the same stateless global-row hash as
-the dense kernel.
+- **the gather runs in-kernel as a one-hot matmul**: TPU's native gather is
+  row-at-a-time and was measured 5x slower than the rest of the layer
+  combined; a ``[rows, N] @ [N, F]`` one-hot contraction rides the MXU and
+  keeps the gathered pair rows in VMEM,
+- the pair rows ``[x_recv, x_sent, dist?, cond?]`` are assembled in VMEM and
+  run through the full edge-MLP chain (in-kernel dropout via the stateless
+  hash shared with the dense kernel), then masked by the gathered sender
+  mask and sum/mean-aggregated over each receiver's k neighbours,
+- the backward rematerializes in VMEM; the sender-side input gradient
+  scatters back through the transposed one-hot matmul, accumulated across
+  receiver blocks in a revisited output block.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -33,14 +33,62 @@ from .mp_pallas import _dleaky, _dropmul, _interpret, _leaky
 
 
 def _row_offset(tr: int, k: int):
-    """Global pair-row offset of this program's block (jet-major,
-    receiver-major, neighbour-minor) — blocking-independent, so forward and
-    backward replay identical dropout masks."""
+    """Global pair-row offset (jet-major, receiver-major, neighbour-minor) —
+    blocking-independent so fwd/bwd replay identical dropout masks."""
     n_rows_per_jet = pl.num_programs(1) * (tr * k)
     return pl.program_id(0) * n_rows_per_jet + pl.program_id(1) * (tr * k)
 
 
-def _mlp_chain(a, wb, num_layers, alpha, dropout_p, seed, offset):
+def _fwd_kernel(
+    num_layers, alpha, sum_agg, tr, k, use_dists, use_cond, dropout_p, *refs
+):
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    xr_ref = refs[base]  # [1, TR, F] receiver block
+    x_ref = refs[base + 1]  # [1, N, F] whole jet
+    mask_ref = refs[base + 2]  # [1, N, 1]
+    idx_ref = refs[base + 3]  # [1, TR*k, 1] (pre-flattened pair rows)
+    off = base + 4
+    dists_ref = cond_ref = None
+    if use_dists:
+        dists_ref = refs[off]  # [1, TR*k, 1]
+        off += 1
+    if use_cond:
+        cond_ref = refs[off]  # [1, C]
+        off += 1
+    wb = refs[off : off + 2 * num_layers]
+    out_ref = refs[off + 2 * num_layers]
+
+    seed = seed_ref[0] if dropout_p > 0 else None
+    offset = _row_offset(tr, k) if dropout_p > 0 else None
+    n, f = x_ref.shape[1], x_ref.shape[2]
+
+    # sender gather as a one-hot MXU contraction
+    x = x_ref[0].astype(jnp.float32)
+    xm = jnp.concatenate([x, mask_ref[0].astype(jnp.float32)], axis=-1)
+    idx = idx_ref[0]  # [TR*k, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tr * k, n), 1)
+    onehot = (cols == idx).astype(jnp.float32)
+    x2m = jax.lax.dot_general(
+        onehot, xm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    x2, smask = x2m[:, :f], x2m[:, f:]
+
+    # receiver rows: each receiver repeated k times
+    x1 = jnp.broadcast_to(
+        xr_ref[0].astype(jnp.float32)[:, None, :], (tr, k, f)
+    ).reshape(tr * k, f)
+
+    parts = [x1, x2]
+    if use_dists:
+        parts.append(dists_ref[0].astype(jnp.float32))
+    if use_cond:
+        c = cond_ref.shape[-1]
+        parts.append(jnp.broadcast_to(cond_ref[0].astype(jnp.float32), (tr * k, c)))
+    a = jnp.concatenate(parts, axis=-1)
+
     for layer in range(num_layers):
         w = wb[2 * layer][:]
         b = wb[2 * layer + 1][:]
@@ -54,56 +102,88 @@ def _mlp_chain(a, wb, num_layers, alpha, dropout_p, seed, offset):
         )
         if dropout_p > 0:
             a = a * _dropmul(a.shape, dropout_p, seed, layer, offset)
-    return a
 
-
-def _fwd_kernel(num_layers, alpha, sum_agg, tr, k, dropout_p, *refs):
-    base = 0
-    if dropout_p > 0:
-        seed_ref = refs[0]
-        base = 1
-    a_ref, mask_ref = refs[base], refs[base + 1]
-    wb = refs[base + 2 : base + 2 + 2 * num_layers]
-    out_ref = refs[base + 2 + 2 * num_layers]
-    seed = seed_ref[0] if dropout_p > 0 else None
-    offset = _row_offset(tr, k) if dropout_p > 0 else None
-
-    a = a_ref[0].astype(jnp.float32)  # [TR*k, fe_in]
-    a = _mlp_chain(a, wb, num_layers, alpha, dropout_p, seed, offset)
     h_out = a.shape[-1]
-    a = a.reshape(tr, k, h_out) * mask_ref[0].astype(jnp.float32)
+    a = (a * smask).reshape(tr, k, h_out)
     agg = jnp.sum(a, axis=1)
     if not sum_agg:
         agg = agg / k
     out_ref[0] = agg.astype(out_ref.dtype)
 
 
-def _bwd_kernel(num_layers, alpha, sum_agg, tr, k, dropout_p, *refs):
+def _bwd_kernel(
+    num_layers, alpha, sum_agg, tr, k, use_dists, use_cond, dropout_p, *refs
+):
     base = 0
     if dropout_p > 0:
         seed_ref = refs[0]
         base = 1
-    refs = refs[base:]
-    a_ref, mask_ref = refs[0], refs[1]
-    wb = refs[2 : 2 + 2 * num_layers]
-    g_ref = refs[2 + 2 * num_layers]
-    out_off = 3 + 2 * num_layers
-    da0_ref, dmask_ref = refs[out_off], refs[out_off + 1]
-    dwb = refs[out_off + 2 :]
+    xr_ref = refs[base]
+    x_ref = refs[base + 1]
+    mask_ref = refs[base + 2]
+    idx_ref = refs[base + 3]  # [1, TR*k, 1]
+    off = base + 4
+    dists_ref = cond_ref = None
+    if use_dists:
+        dists_ref = refs[off]  # [1, TR*k, 1]
+        off += 1
+    if use_cond:
+        cond_ref = refs[off]
+        off += 1
+    wb = refs[off : off + 2 * num_layers]
+    g_ref = refs[off + 2 * num_layers]
+    off2 = off + 2 * num_layers + 1
+    dx1_ref = refs[off2]  # [1, TR, F] block-exclusive
+    dxm_ref = refs[off2 + 1]  # [1, N, F+1] accumulated over receiver blocks
+    off2 += 2
+    ddists_ref = dcond_ref = None
+    if use_dists:
+        ddists_ref = refs[off2]  # [1, TR*k, 1]
+        off2 += 1
+    if use_cond:
+        dcond_ref = refs[off2]  # [1, C] accumulated
+        off2 += 1
+    dwb = refs[off2:]
+
     seed = seed_ref[0] if dropout_p > 0 else None
     offset = _row_offset(tr, k) if dropout_p > 0 else None
-
-    is_first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    n, f = x_ref.shape[1], x_ref.shape[2]
+    i = pl.program_id(1)
+    is_first = jnp.logical_and(pl.program_id(0) == 0, i == 0)
 
     @pl.when(is_first)
     def _():
         for r in dwb:
             r[:] = jnp.zeros(r.shape, r.dtype)
 
-    a0 = a_ref[0].astype(jnp.float32)
-    mask = mask_ref[0].astype(jnp.float32)  # [TR, k, 1]
+    @pl.when(i == 0)
+    def _():
+        dxm_ref[0] = jnp.zeros(dxm_ref.shape[1:], dxm_ref.dtype)
+        if dcond_ref is not None:
+            dcond_ref[:] = jnp.zeros(dcond_ref.shape, dcond_ref.dtype)
 
-    # recompute forward stashing pre/post activations
+    # ---- recompute forward
+    x = x_ref[0].astype(jnp.float32)
+    xm = jnp.concatenate([x, mask_ref[0].astype(jnp.float32)], axis=-1)
+    idx = idx_ref[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tr * k, n), 1)
+    onehot = (cols == idx).astype(jnp.float32)
+    x2m = jax.lax.dot_general(
+        onehot, xm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    x2, smask = x2m[:, :f], x2m[:, f:]
+    x1 = jnp.broadcast_to(
+        xr_ref[0].astype(jnp.float32)[:, None, :], (tr, k, f)
+    ).reshape(tr * k, f)
+
+    parts = [x1, x2]
+    if use_dists:
+        parts.append(dists_ref[0].astype(jnp.float32))
+    if use_cond:
+        c = cond_ref.shape[-1]
+        parts.append(jnp.broadcast_to(cond_ref[0].astype(jnp.float32), (tr * k, c)))
+    a0 = jnp.concatenate(parts, axis=-1)
+
     acts = [a0]
     pre = []
     a = a0
@@ -123,15 +203,14 @@ def _bwd_kernel(num_layers, alpha, sum_agg, tr, k, dropout_p, *refs):
             a = a * _dropmul(a.shape, dropout_p, seed, layer, offset)
         acts.append(a)
 
+    # ---- backward
     g = g_ref[0].astype(jnp.float32)  # [TR, H_out]
     if not sum_agg:
         g = g / k
     h_out = acts[-1].shape[-1]
-    a_last = acts[-1].reshape(tr, k, h_out)
-    dmask_ref[0] = jnp.sum(a_last * g[:, None, :], axis=2)[..., None].astype(
-        dmask_ref.dtype
-    )
-    da = (g[:, None, :] * mask).reshape(tr * k, h_out)
+    g_rows = jnp.broadcast_to(g[:, None, :], (tr, k, h_out)).reshape(tr * k, h_out)
+    dsmask = jnp.sum(acts[-1] * g_rows, axis=1, keepdims=True)  # [TR*k, 1]
+    da = g_rows * smask
 
     for layer in range(num_layers - 1, -1, -1):
         if dropout_p > 0:
@@ -146,122 +225,210 @@ def _bwd_kernel(num_layers, alpha, sum_agg, tr, k, dropout_p, *refs):
             dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    da0_ref[0] = da.astype(da0_ref.dtype)
+    # split da0 into the assembled parts
+    col = 0
+    dx1_rows = da[:, col : col + f]
+    col += f
+    dx2 = da[:, col : col + f]
+    col += f
+    if use_dists:
+        ddists_ref[0] = da[:, col : col + 1].astype(ddists_ref.dtype)
+        col += 1
+    if use_cond:
+        c = dcond_ref.shape[-1]
+        dcond_ref[0] += jnp.sum(da[:, col : col + c], axis=0).astype(dcond_ref.dtype)
+
+    dx1_ref[0] = jnp.sum(dx1_rows.reshape(tr, k, f), axis=1).astype(dx1_ref.dtype)
+    # sender-side scatter: onehot^T @ [dx2, dsmask]
+    dx2m = jnp.concatenate([dx2, dsmask], axis=-1)
+    dxm_ref[0] += jax.lax.dot_general(
+        onehot, dx2m, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dxm_ref.dtype)
 
 
 def _block_receivers(n: int, k: int) -> int:
-    tr = max(1, 2048 // k)
-    while n % tr and tr > 1:  # keep blocks even (padding would need masking)
-        tr //= 2
-    return min(tr, n)
+    """Receivers per program: must divide n (padding would corrupt
+    accumulated grads) with 8-aligned row blocks; fall back to the whole
+    jet (full-array blocks are always legal)."""
+    limit = max(1, 4096 // k)
+    for tr in range(min(n, limit), 0, -1):
+        if n % tr == 0 and (tr * k) % 8 == 0:
+            return tr
+    return n
 
 
-def _specs(b_sz, n, k, tr, fe_in, h_out, weights, dropout_p, seed):
-    grid = (b_sz, n // tr)
+def _common_specs(b_sz, n, k, tr, f, use_dists, use_cond, cond_c, dropout_p):
     in_specs = []
-    args = []
     if dropout_p > 0:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
     in_specs += [
-        pl.BlockSpec((1, tr * k, fe_in), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tr, k, 1), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tr, f), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),  # xr
+        pl.BlockSpec((1, n, f), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),  # x
+        pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),  # mask
+        pl.BlockSpec((1, tr * k, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),  # idx
     ]
+    if use_dists:
+        in_specs.append(
+            pl.BlockSpec((1, tr * k, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        )
+    if use_cond:
+        in_specs.append(pl.BlockSpec((1, cond_c), lambda b, i: (b, 0), memory_space=pltpu.VMEM))
+    return in_specs
+
+
+def _weights_list(weights_flat):
+    return [
+        (weights_flat[2 * i], weights_flat[2 * i + 1]) for i in range(len(weights_flat) // 2)
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def knn_edge_aggregate(x, mask, idx, dists, cond, weights_flat, seed_v, alpha, sum_agg, dropout_p):
+    """``agg[b, i] = sum_{s in 1..k} smask * fe([x_i, x_{idx[b,i,s]},
+    dists?, cond?])`` — fused knn message passing.
+
+    ``x [B,N,F]``; ``mask [B,N,1]`` sender mask; ``idx [B,N,k]`` int32;
+    ``dists [B,N,k]`` or None; ``cond [B,C]`` per-jet conditioning columns or
+    None; ``weights_flat = (w1, b1, ...)`` the full fe stack;
+    ``seed_v`` a (seed, dropout-active) scalar or None.
+    """
+    return _fwd_impl(x, mask, idx, dists, cond, _weights_list(weights_flat), seed_v,
+                     alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p)
+
+
+def _fwd_impl(x, mask, idx, dists, cond, weights, seed, *, alpha, sum_agg, dropout_p):
+    b_sz, n, f = x.shape
+    k = idx.shape[-1]
+    tr = _block_receivers(n, k)
+    use_dists = dists is not None
+    use_cond = cond is not None
+    cond_c = cond.shape[-1] if use_cond else 0
+    h_out = weights[-1][0].shape[1]
+
+    in_specs = _common_specs(b_sz, n, k, tr, f, use_dists, use_cond, cond_c, dropout_p)
+    args = []
+    if dropout_p > 0:
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
+    args += [x, x, mask, idx.reshape(b_sz, n * k, 1)]
+    if use_dists:
+        args.append(dists.reshape(b_sz, n * k, 1))
+    if use_cond:
+        args.append(cond)
     for w, bias in weights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.extend([w, bias])
-    return grid, in_specs, args
 
-
-def _knn_fwd_impl(a0, amask, weights, seed, *, alpha, sum_agg, k, dropout_p):
-    b_sz, rows, fe_in = a0.shape
-    n = rows // k
-    tr = _block_receivers(n, k)
-    h_out = weights[-1][0].shape[1]
-    grid, in_specs, wargs = _specs(b_sz, n, k, tr, fe_in, h_out, weights, dropout_p, seed)
-    kernel = functools.partial(_fwd_kernel, len(weights), alpha, sum_agg, tr, k, dropout_p)
+    kernel = functools.partial(
+        _fwd_kernel, len(weights), alpha, sum_agg, tr, k, use_dists, use_cond, dropout_p
+    )
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b_sz, n // tr),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tr, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_sz, n, h_out), a0.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_sz, n, h_out), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(*([wargs[0]] if dropout_p > 0 else []), a0, amask.reshape(b_sz, n, k, 1), *(wargs[1:] if dropout_p > 0 else wargs))
+    )(*args)
 
 
-def _knn_bwd_impl(a0, amask, weights, g, seed, *, alpha, sum_agg, k, dropout_p):
-    b_sz, rows, fe_in = a0.shape
-    n = rows // k
+def _bwd_impl(x, mask, idx, dists, cond, weights, g, seed, *, alpha, sum_agg, dropout_p):
+    b_sz, n, f = x.shape
+    k = idx.shape[-1]
     tr = _block_receivers(n, k)
+    use_dists = dists is not None
+    use_cond = cond is not None
+    cond_c = cond.shape[-1] if use_cond else 0
     h_out = weights[-1][0].shape[1]
-    grid, in_specs, wargs = _specs(b_sz, n, k, tr, fe_in, h_out, weights, dropout_p, seed)
+
+    in_specs = _common_specs(b_sz, n, k, tr, f, use_dists, use_cond, cond_c, dropout_p)
+    args = []
+    if dropout_p > 0:
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
+    args += [x, x, mask, idx.reshape(b_sz, n * k, 1)]
+    if use_dists:
+        args.append(dists.reshape(b_sz, n * k, 1))
+    if use_cond:
+        args.append(cond)
+    for w, bias in weights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.extend([w, bias])
     in_specs.append(pl.BlockSpec((1, tr, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM))
+    args.append(g)
 
     out_shapes = [
-        jax.ShapeDtypeStruct((b_sz, rows, fe_in), a0.dtype),  # da0
-        jax.ShapeDtypeStruct((b_sz, n, k, 1), a0.dtype),  # dmask
+        jax.ShapeDtypeStruct((b_sz, n, f), x.dtype),  # dx1 (receiver part)
+        jax.ShapeDtypeStruct((b_sz, n, f + 1), jnp.float32),  # dxm (sender + mask)
     ]
     out_specs = [
-        pl.BlockSpec((1, tr * k, fe_in), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tr, k, 1), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tr, f), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, f + 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
+    if use_dists:
+        out_shapes.append(jax.ShapeDtypeStruct((b_sz, n * k, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, tr * k, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        )
+    if use_cond:
+        out_shapes.append(jax.ShapeDtypeStruct((b_sz, cond_c), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, cond_c), lambda b, i: (b, 0), memory_space=pltpu.VMEM))
     for w, bias in weights:
         out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_shapes.append(jax.ShapeDtypeStruct(bias.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_bwd_kernel, len(weights), alpha, sum_agg, tr, k, dropout_p)
-    pre_args = [wargs[0]] if dropout_p > 0 else []
-    w_args = wargs[1:] if dropout_p > 0 else wargs
+    kernel = functools.partial(
+        _bwd_kernel, len(weights), alpha, sum_agg, tr, k, use_dists, use_cond, dropout_p
+    )
     outs = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b_sz, n // tr),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(*pre_args, a0, amask.reshape(b_sz, n, k, 1), *w_args, g)
-    da0, dmask = outs[0], outs[1]
-    dweights = [(outs[2 + 2 * i], outs[3 + 2 * i]) for i in range(len(weights))]
-    return da0, dmask.reshape(amask.shape), dweights
+    )(*args)
+
+    dx1, dxm = outs[0], outs[1]
+    o = 2
+    ddists = dcond = None
+    if use_dists:
+        ddists = outs[o]
+        o += 1
+    if use_cond:
+        dcond = outs[o]
+        o += 1
+    dweights = [(outs[o + 2 * i], outs[o + 1 + 2 * i]) for i in range(len(weights))]
+    dx = dx1 + dxm[:, :, :f].astype(x.dtype)
+    dmask = dxm[:, :, f:].astype(mask.dtype)
+    return dx, dmask, ddists, dcond, dweights
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def knn_edge_aggregate(a0, amask, weights_flat, seed, alpha, sum_agg, k, dropout_p=0.0):
-    """``agg[b, i] = sum_{j in knn(i)} amask[b, i, j] * fe_mlp(a0[b, i*k+j])``
-    with ``a0 [B, N*k, fe_in]`` the pre-gathered pair rows and
-    ``weights_flat = (w1, b1, w2, b2, ...)`` the full fe stack."""
-    weights = [
-        (weights_flat[2 * i], weights_flat[2 * i + 1]) for i in range(len(weights_flat) // 2)
-    ]
-    return _knn_fwd_impl(
-        a0, amask, weights, seed, alpha=alpha, sum_agg=sum_agg, k=k, dropout_p=dropout_p
-    )
+def _vjp_fwd(x, mask, idx, dists, cond, weights_flat, seed_v, alpha, sum_agg, dropout_p):
+    out = knn_edge_aggregate(x, mask, idx, dists, cond, weights_flat, seed_v,
+                             alpha, sum_agg, dropout_p)
+    return out, (x, mask, idx, dists, cond, weights_flat, seed_v)
 
 
-def _fwd(a0, amask, weights_flat, seed, alpha, sum_agg, k, dropout_p):
-    out = knn_edge_aggregate(a0, amask, weights_flat, seed, alpha, sum_agg, k, dropout_p)
-    return out, (a0, amask, weights_flat, seed)
-
-
-def _bwd(alpha, sum_agg, k, dropout_p, res, g):
-    a0, amask, weights_flat, seed = res
-    weights = [
-        (weights_flat[2 * i], weights_flat[2 * i + 1]) for i in range(len(weights_flat) // 2)
-    ]
-    da0, dmask, dweights = _knn_bwd_impl(
-        a0, amask, weights, g, seed, alpha=alpha, sum_agg=sum_agg, k=k, dropout_p=dropout_p
+def _vjp_bwd(alpha, sum_agg, dropout_p, res, g):
+    x, mask, idx, dists, cond, weights_flat, seed_v = res
+    weights = _weights_list(weights_flat)
+    dx, dmask, ddists, dcond, dweights = _bwd_impl(
+        x, mask, idx, dists, cond, weights, g, seed_v,
+        alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p,
     )
     dw_flat = tuple(
         d.astype(p.dtype) for pair, wpair in zip(dweights, weights) for d, p in zip(pair, wpair)
     )
-    dseed = None if seed is None else jnp.zeros_like(seed)
-    return da0, dmask, dw_flat, dseed
+    didx = None
+    dseed = None if seed_v is None else jnp.zeros_like(seed_v)
+    ddists = None if dists is None else ddists.reshape(dists.shape).astype(dists.dtype)
+    dcond = None if cond is None else dcond.astype(cond.dtype)
+    return dx, dmask, didx, ddists, dcond, dw_flat, dseed
 
 
-knn_edge_aggregate.defvjp(_fwd, _bwd)
+knn_edge_aggregate.defvjp(_vjp_fwd, _vjp_bwd)

@@ -134,17 +134,15 @@ def _pairwise_fully_connected(cfg: MPLayerConfig, x: jax.Array) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
-def _pairwise_knn(
+def _knn_search(
     cfg: MPLayerConfig, x: jax.Array, mask: jax.Array | None
-) -> tuple[jax.Array, jax.Array | None]:
-    """Static-shape k-nearest-neighbour edge tensor (mpgan/model.py:319-381).
+) -> tuple[jax.Array, jax.Array]:
+    """Neighbour indices + distances (mpgan/model.py:339-359).
 
     Masked particles are pushed far away with the reference's ``mul = 1e4``
     trick (mpgan/model.py:332-334) so they are never selected as neighbours.
-    Returns ``(A, A_mask)`` with ``A: [B, N, k, fe_base]`` and ``A_mask`` the
-    gathered sender masks ``[B, N, k, 1]`` (None if ``mask`` is None).
+    Returns ``(idx [B, N, k] int32, dists [B, N, k, 1])``.
     """
-    b, n, ns = x.shape
     if mask is not None:
         mul = 1e4
         x_far = ((1 - mul) * mask + mul) * x
@@ -159,18 +157,35 @@ def _pairwise_knn(
     dists = jnp.linalg.norm(diffs + 1e-12, axis=-1)  # [B, N, N]
 
     start = 0 if cfg.self_loops else 1
-    order = jnp.argsort(dists, axis=2)
-    idx = order[:, :, start : cfg.num_knn + start]  # [B, N, k]
-    knn_dists = jnp.take_along_axis(dists, idx, axis=2)[..., None]
+    # top_k on negated distances == the reference's ascending sort-and-slice
+    # (mpgan/model.py:347-359) but O(N^2 k) and TPU-native
+    neg_top, order = jax.lax.top_k(-dists, cfg.num_knn + start)
+    idx = order[:, :, start:]  # [B, N, k]
+    knn_dists = -neg_top[:, :, start:, None]
+    return idx, knn_dists
 
-    # gather neighbour features: idx broadcast over feature dim
-    x2_knn = jnp.take_along_axis(
-        x[:, None, :, :].repeat(n, axis=1), idx[..., None].repeat(ns, axis=-1), axis=2
+
+def _pairwise_knn(
+    cfg: MPLayerConfig, x: jax.Array, mask: jax.Array | None
+) -> tuple[jax.Array, jax.Array | None]:
+    """Static-shape k-nearest-neighbour edge tensor (mpgan/model.py:319-381).
+
+    Returns ``(A, A_mask)`` with ``A: [B, N, k, fe_base]`` and ``A_mask`` the
+    gathered sender masks ``[B, N, k, 1]`` (None if ``mask`` is None).
+    """
+    b, n, ns = x.shape
+    idx, knn_dists = _knn_search(cfg, x, mask)
+
+    # gather neighbour features directly along the particle axis — never
+    # materialize the [B, N, N, F] repeat
+    flat_idx = idx.reshape(b, n * cfg.num_knn)
+    x2_knn = jnp.take_along_axis(x, flat_idx[..., None], axis=1).reshape(
+        b, n, cfg.num_knn, ns
     )
     a_mask = None
     if mask is not None:
-        a_mask = jnp.take_along_axis(
-            mask[:, None, :, :].repeat(n, axis=1), idx[..., None], axis=2
+        a_mask = jnp.take_along_axis(mask, flat_idx[..., None], axis=1).reshape(
+            b, n, cfg.num_knn, 1
         )
     x1_knn = jnp.broadcast_to(x[:, :, None, :], (b, n, cfg.num_knn, ns))
 
@@ -294,18 +309,26 @@ def _mp_layer_apply_fused_knn(
     rng: jax.Array | None,
     update_sn: bool,
 ) -> tuple[jax.Array, dict]:
-    """Fused knn path: XLA builds the gathered ``[B, N, k, fe_in]`` pair rows
-    (argsort + take_along_axis); the kernel fuses the full edge-MLP chain +
-    masked k-aggregation in VMEM (7.5x less matmul work than dense at
-    N=150, k=20)."""
+    """Fused knn path: XLA finds the neighbours (pairwise dists +
+    ``lax.top_k``); the kernel gathers them via an in-VMEM one-hot matmul
+    and fuses the full edge-MLP chain + masked k-aggregation (7.5x less
+    matmul work than dense at N=150, k=20, and no HBM gather)."""
     from .knn_pallas import knn_edge_aggregate
 
     weights, fe_state = _fe_weights_sn(cfg, params, state, update_sn)
-    a, a_mask = _pairwise_knn(cfg, x, mask)  # [B, N, k, fe_base], [B, N, k, 1]
-    a = _append_cond(cfg, a, labels, num_jet_particles)
-    b, n, k, fe_in = a.shape
-    a0 = a.reshape(b, n * k, fe_in)
-    m = a_mask if a_mask is not None else jnp.ones((b, n, k, 1), x.dtype)
+    idx, knn_dists = _knn_search(cfg, x, mask)
+    dists = knn_dists[..., 0] if cfg.pos_diffs else None
+
+    cond = None
+    if cfg.clabels or cfg.mask_fne_np:
+        parts = []
+        if cfg.clabels:
+            parts.append(labels[:, : cfg.clabels].astype(x.dtype))
+        if cfg.mask_fne_np:
+            parts.append(num_jet_particles.astype(x.dtype).reshape(-1, 1))
+        cond = jnp.concatenate(parts, axis=-1)
+
+    m = mask if mask is not None else jnp.ones(x.shape[:2] + (1,), x.dtype)
 
     dropout_p = cfg.fe.dropout_p if train else 0.0
     seed = None
@@ -317,7 +340,8 @@ def _mp_layer_apply_fused_knn(
         ).astype(jnp.float32)
     weights_t = tuple(p for w, bb in weights for p in (w.T, bb))
     agg = knn_edge_aggregate(
-        a0, m, weights_t, seed, cfg.fe.leaky_relu_alpha, cfg.sum_agg, k, dropout_p
+        x, m, idx, dists, cond, weights_t, seed,
+        cfg.fe.leaky_relu_alpha, cfg.sum_agg, dropout_p,
     )
 
     h = jnp.concatenate([agg, x], axis=-1)

@@ -77,31 +77,35 @@ def _hash_dropmul_jnp(shape, p, seed, salt, offset):
 def test_fused_knn_dropout_exact_grad_replay():
     """With the dropout hash emulated in jnp, the kernel's forward AND
     custom-VJP gradient must match jnp autograd exactly (any fwd/bwd mask
-    replay mismatch would show here)."""
+    replay or in-kernel gather mismatch would show here)."""
     from mpgan_tpu.ops.knn_pallas import knn_edge_aggregate
 
     rng = np.random.RandomState(5)
-    b, n, k, fe_in, h1 = 2, 12, 4, 17, 24
-    a0 = jnp.asarray(rng.randn(b, n * k, fe_in).astype(np.float32) * 0.4)
-    amask = jnp.asarray((rng.rand(b, n, k, 1) > 0.2).astype(np.float32))
-    w = jnp.asarray(rng.randn(fe_in, h1).astype(np.float32) * 0.2)
+    b, n, k, f_dim, h1 = 2, 12, 4, 8, 24
+    x = jnp.asarray(rng.randn(b, n, f_dim).astype(np.float32) * 0.4)
+    mask = jnp.asarray((rng.rand(b, n, 1) > 0.2).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n, size=(b, n, k)).astype(np.int32))
+    w = jnp.asarray(rng.randn(2 * f_dim, h1).astype(np.float32) * 0.2)
     bias = jnp.asarray(rng.randn(h1).astype(np.float32) * 0.1)
     seed = jnp.asarray(3.0)
 
-    def f(a):
-        out = knn_edge_aggregate(a, amask, (w, bias), seed, 0.2, True, k, 0.5)
+    def f(xx):
+        out = knn_edge_aggregate(xx, mask, idx, None, None, (w, bias), seed, 0.2, True, 0.5)
         return jnp.sum(jnp.sin(out))
 
-    def ref_f(a):
+    def ref_f(xx):
         outs = []
         for jet in range(b):
-            z = a[jet] @ w + bias
+            x1 = jnp.repeat(xx[jet], k, axis=0)  # [n*k, F]
+            x2 = xx[jet][idx[jet].reshape(-1)]
+            smask = mask[jet][idx[jet].reshape(-1)]
+            z = jnp.concatenate([x1, x2], axis=-1) @ w + bias
             act = jnp.maximum(z, 0.2 * z)
             act = act * _hash_dropmul_jnp(act.shape, 0.5, 3, 0, jet * (n * k))
-            outs.append((act.reshape(n, k, h1) * amask[jet]).sum(1))
+            outs.append((act * smask).reshape(n, k, h1).sum(1))
         return jnp.sum(jnp.sin(jnp.stack(outs)))
 
-    np.testing.assert_allclose(float(f(a0)), float(ref_f(a0)), rtol=1e-6)
-    g = jax.grad(f)(a0)
-    g_ref = jax.grad(ref_f)(a0)
-    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(f(x)), float(ref_f(x)), rtol=1e-5)
+    g = jax.grad(f)(x)
+    g_ref = jax.grad(ref_f)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
