@@ -88,6 +88,23 @@ def test_trainer_gapt(tmp_path):
     assert all(np.isfinite(trainer.losses["G"]))
 
 
+def test_trainer_150p_masked_knn(tmp_path):
+    """BASELINE.json config 4: masked variable-cardinality 150-particle
+    MPGAN, with the knn sparsification the reference prescribes for large
+    clouds (setup_training.py:826-834). Tiny widths, one epoch."""
+    args = _tiny_args(
+        tmp_path, name="smoke_150p", num_hits=150, batch_size=16,
+        num_epochs=1, fully_connected=False, num_knn=10, fpd=False,
+        eval_tot_samples=60, w1_num_samples=[30],
+    )
+    assert args.mask and args.mask_c
+    train_ds, valid_ds = _datasets(num_hits=150)
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    trainer.train()
+    assert np.isfinite(trainer.losses["G"][-1])
+    assert len(trainer.losses["w1m"]) == 1
+
+
 def test_trainer_wgan_rgan(tmp_path):
     """rGAN family: WGAN-GP loss, adam, num_critic=5 (the ext-model preset,
     setup_training.py:957-974)."""
