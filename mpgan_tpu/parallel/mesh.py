@@ -39,6 +39,30 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_map_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    *,
+    num_batch_args: int = 1,
+    axis: str = "data",
+    donate_state: bool = True,
+) -> Callable:
+    """Wrap a ``(state, *batch) -> (state, metrics)`` step with ``shard_map``
+    over the data axis: each device runs the full step on its batch shard
+    (Pallas kernels included — they execute per-shard, which the XLA SPMD
+    partitioner cannot do for a jit-sharded custom call), with gradients
+    pmean-ed over ICI inside the step (build it with ``pmean_axis=axis``).
+    """
+    f = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * num_batch_args,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(f, donate_argnums=(0,) if donate_state else ())
+
+
 def jit_step(
     step_fn: Callable,
     mesh: Mesh,

@@ -22,7 +22,7 @@ from ..data.loader import BatchLoader
 from ..evaluation import efps, fpd, w1efp, w1m, w1p
 from ..models.registry import ModelSuite, build_suite
 from ..ops.augment import AugmentConfig
-from ..parallel.mesh import jit_step, make_mesh
+from ..parallel.mesh import make_mesh, shard_map_step
 from ..utils import plotting
 from . import checkpoint as ckpt
 from .config import Args
@@ -44,12 +44,6 @@ class Trainer:
         fpnd_fn=None,
     ):
         self.args = args
-        if (mesh is not None or args.get("mesh_shape")) and args.get("use_pallas") is None:
-            # XLA's SPMD partitioner cannot shard the Pallas custom call on
-            # its own; under a mesh the auto mode falls back to the jnp path
-            # (pass --use-pallas explicitly to override, e.g. with a
-            # shard_map-wrapped step)
-            args.use_pallas = False
         self.suite = suite or build_suite(
             args, pcgan_weights_dir=args.get("pcgan_weights_dir") or None
         )
@@ -88,6 +82,8 @@ class Trainer:
             ),
             aug_prob=args.aug_prob,
         )
+        if mesh is None and args.get("mesh_shape"):
+            mesh = make_mesh(args.mesh_shape)
         d_step, g_step = make_train_steps(
             step_cfg=step_cfg,
             g_apply=self.suite.g_apply,
@@ -100,14 +96,19 @@ class Trainer:
             use_labels=self.use_labels,
             encode_real=self.suite.encode_real,
             post_gen=self.suite.post_gen,
+            pmean_axis="data" if mesh is not None else None,
         )
 
         n_batch_args = 2 if self.use_labels else 1
-        if mesh is None and args.get("mesh_shape"):
-            mesh = make_mesh(args.mesh_shape)
         if mesh is not None:
-            self.d_step = jit_step(d_step, mesh, num_batch_args=n_batch_args, donate_state=False)
-            self.g_step = jit_step(g_step, mesh, num_batch_args=n_batch_args, donate_state=False)
+            # per-shard execution via shard_map: the fused Pallas kernels run
+            # locally on every chip, gradients pmean over ICI
+            self.d_step = shard_map_step(
+                d_step, mesh, num_batch_args=n_batch_args, donate_state=False
+            )
+            self.g_step = shard_map_step(
+                g_step, mesh, num_batch_args=n_batch_args, donate_state=False
+            )
         else:
             self.d_step = jax.jit(d_step)
             self.g_step = jax.jit(g_step)

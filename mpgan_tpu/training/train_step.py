@@ -92,6 +92,7 @@ def make_train_steps(
     use_labels: bool = True,
     encode_real: Callable[[jax.Array], jax.Array] | None = None,
     post_gen: Callable[[jax.Array], jax.Array] | None = None,
+    pmean_axis: str | None = None,
 ) -> tuple[Callable, Callable]:
     """Build ``(d_step, g_step)`` pure functions.
 
@@ -103,6 +104,11 @@ def make_train_steps(
     representation before D sees them (PCGAN's pre-trained ``G_inv`` latent
     encoding, train.py:837-839); ``post_gen`` applies post-generation hooks
     to G's output (mask_manual pT cutoff, train.py:208-210).
+
+    ``pmean_axis``: set when the step runs under ``shard_map`` over a data
+    mesh axis — gradients and metrics are ``pmean``-ed over the axis
+    (data-parallel SGD) and per-shard RNG keys are decorrelated by folding
+    in the axis index.
     """
     aug_cfg = step_cfg.augment if (step_cfg.augment and step_cfg.augment.any) else None
 
@@ -111,10 +117,15 @@ def make_train_steps(
             return x
         return augment(aug_cfg, rng, x, step_cfg.aug_prob)
 
+    def _localize(keys):
+        if pmean_axis is None:
+            return keys
+        ai = jax.lax.axis_index(pmean_axis)
+        return [jax.random.fold_in(key, ai) for key in keys]
+
     def d_step(state: TrainState, data: jax.Array, labels: jax.Array | None = None):
-        rng, k_noise, k_real, k_fake, k_gp_drop, k_gp, k_tgt, k_aug_r, k_aug_f = (
-            jax.random.split(state.rng, 9)
-        )
+        rng, *keys = jax.random.split(state.rng, 9)
+        k_noise, k_real, k_fake, k_gp_drop, k_gp, k_tgt, k_aug_r, k_aug_f = _localize(keys)
         batch_size = data.shape[0]
         if encode_real is not None:
             data = encode_real(data)
@@ -160,6 +171,11 @@ def make_train_steps(
             return total, (parts, d_state2, g_state1)
 
         grads, (parts, d_state, g_state) = jax.grad(loss_fn, has_aux=True)(state.d_params)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            parts = jax.lax.pmean(parts, pmean_axis)
+            d_state = jax.lax.pmean(d_state, pmean_axis)
+            g_state = jax.lax.pmean(g_state, pmean_axis)
         updates, d_opt_state = d_opt.update(grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
         new_state = state._replace(
@@ -172,7 +188,8 @@ def make_train_steps(
         return new_state, parts
 
     def g_step(state: TrainState, data: jax.Array, labels: jax.Array | None = None):
-        rng, k_noise, k_g, k_d, k_aug = jax.random.split(state.rng, 5)
+        rng, *keys = jax.random.split(state.rng, 5)
+        k_noise, k_g, k_d, k_aug = _localize(keys)
         batch_size = labels.shape[0] if labels is not None else data.shape[0]
         noise, _ = spec.sample(k_noise, batch_size, data.dtype)
 
@@ -192,6 +209,11 @@ def make_train_steps(
         (loss_val, (g_state, d_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.g_params
         )
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            loss_val = jax.lax.pmean(loss_val, pmean_axis)
+            g_state = jax.lax.pmean(g_state, pmean_axis)
+            d_state = jax.lax.pmean(d_state, pmean_axis)
         updates, g_opt_state = g_opt.update(grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
         new_state = state._replace(

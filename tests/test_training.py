@@ -133,6 +133,37 @@ def test_train_step_multichip_mesh():
     assert np.isfinite(float(g_metrics["G"]))
 
 
+def test_shard_map_step():
+    """shard_map data parallelism (the path that also runs Pallas kernels
+    per-shard): params remain replicated after pmean-ed updates."""
+    from mpgan_tpu.parallel.mesh import shard_map_step
+
+    g_cfg, d_cfg = _tiny_gan(dropout=0.0)
+    spec = NoiseSpec((10, 8), 0.2)
+    g_opt = build_optimizer("rmsprop", 1e-4)
+    d_opt = build_optimizer("rmsprop", 3e-4)
+    state = init_train_state(
+        jax.random.PRNGKey(0), mp_generator_init, mp_discriminator_init,
+        g_cfg, d_cfg, g_opt, d_opt,
+    )
+    d_step, g_step = make_train_steps(
+        step_cfg=StepConfig(loss="ls"),
+        g_apply=mp_generator_apply, d_apply=mp_discriminator_apply,
+        g_cfg=g_cfg, d_cfg=d_cfg, spec=spec, g_opt=g_opt, d_opt=d_opt,
+        pmean_axis="data",
+    )
+    mesh = make_mesh(8)
+    d_j = shard_map_step(d_step, mesh, num_batch_args=2, donate_state=False)
+    g_j = shard_map_step(g_step, mesh, num_batch_args=2, donate_state=False)
+    data, labels = _fake_batch(np.random.RandomState(3), 16, 10)
+    state, dm = d_j(state, data, labels)
+    state, gm = g_j(state, data, labels)
+    assert np.isfinite(float(dm["D"])) and np.isfinite(float(gm["G"]))
+    w = state.d_params["mp_layers"][0]["fe"]["layers"][0]["w"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    assert all(np.allclose(shards[0], s) for s in shards[1:])
+
+
 def test_single_vs_multichip_same_result():
     """The sharded step computes the same update as the single-device step."""
     state, d_step, g_step, n = _make_everything(dropout=0.0)
