@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mp_pallas import _dleaky, _dropmul, _interpret, _leaky
+from .mp_pallas import _dleaky, _dropmul, _interpret, _leaky, _split_mlp_chain
 
 
 def _row_offset(tr: int, k: int):
@@ -88,20 +88,7 @@ def _fwd_kernel(
         c = cond_ref.shape[-1]
         parts.append(jnp.broadcast_to(cond_ref[0].astype(jnp.float32), (tr * k, c)))
     a = jnp.concatenate(parts, axis=-1)
-
-    for layer in range(num_layers):
-        w = wb[2 * layer][:]
-        b = wb[2 * layer + 1][:]
-        a = _leaky(
-            jax.lax.dot_general(
-                a.astype(w.dtype), w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b.astype(jnp.float32),
-            alpha,
-        )
-        if dropout_p > 0:
-            a = a * _dropmul(a.shape, dropout_p, seed, layer, offset)
+    a = _split_mlp_chain(a, wb, num_layers, alpha, dropout_p, seed, offset, 0)
 
     h_out = a.shape[-1]
     a = (a * smask).reshape(tr, k, h_out)
