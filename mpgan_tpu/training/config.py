@@ -65,7 +65,7 @@ def defaults() -> dict[str, Any]:
         disc_dropout=0.5, gen_dropout=0.0, label_smoothing=False,
         label_noise=0.0, gp=0.0,
         # evaluation
-        fpnd=False, fpd=False, efp=False, fpnd_batch_size=256, efp_jobs=0,
+        fpnd=False, fpd=False, efp=False, cov_mmd=False, fpnd_batch_size=256, efp_jobs=0,
         gpu_batch=50, eval=True, eval_tot_samples=50000, w1_num_samples=[50000],
         cov_mmd_num_samples=100, cov_mmd_num_batches=10, jf=["mass", "pt"],
         # masking

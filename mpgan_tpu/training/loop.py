@@ -19,7 +19,7 @@ import numpy as np
 
 from ..data.jetnet import gen_jet_corrections
 from ..data.loader import BatchLoader
-from ..evaluation import efps, fpd, w1efp, w1m, w1p
+from ..evaluation import cov_mmd, efps, fpd, w1efp, w1m, w1p
 from ..models.registry import ModelSuite, build_suite
 from ..ops.augment import AugmentConfig
 from ..parallel.mesh import make_mesh, shard_map_step
@@ -138,7 +138,11 @@ class Trainer:
             self.eval_keys.append("fpnd")
         if args.get("fpd"):
             self.eval_keys.append("fpd")
-        self.multi_value_keys = ["w1p", "w1m", "w1efp", "fpd"]
+        if args.get("cov_mmd"):
+            # staged in the reference (flags at setup_training.py:320-331,
+            # calls commented out at train.py:604-606) — live here
+            self.eval_keys.append("cov_mmd")
+        self.multi_value_keys = ["w1p", "w1m", "w1efp", "fpd", "cov_mmd"]
         if self.start_epoch:
             self.losses = ckpt.load_losses(
                 self.losses_dir, self.d_loss_keys + ["G"] + self.eval_keys,
@@ -223,6 +227,13 @@ class Trainer:
             self.losses["w1efp"].append(np.concatenate([w1em, w1es]).tolist())
         if "fpnd" in self.eval_keys:
             self.losses["fpnd"].append(float(self.fpnd_fn(gen_jets, args.jets, real_jets)))
+        if "cov_mmd" in self.eval_keys:
+            cov, mmd = cov_mmd(
+                real_jets, gen_jets,
+                num_eval_samples=min(args.cov_mmd_num_samples, n_eval),
+                num_batches=args.cov_mmd_num_batches,
+            )
+            self.losses["cov_mmd"].append([cov, mmd])
         if "fpd" in self.eval_keys:
             real_efps = self._cached_real_efps(real_jets)
             gen_efps = efps(gen_jets, select="d<=4")

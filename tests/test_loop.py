@@ -124,3 +124,27 @@ def test_trainer_wgan_rgan(tmp_path):
     trainer.train()
     assert np.isfinite(trainer.losses["gp"][-1])
     assert len(trainer.losses["w1m"]) == 1
+
+
+def test_trainer_cov_mmd(tmp_path):
+    """Coverage/MMD eval — staged in the reference (flags at
+    setup_training.py:320-331, calls disabled), live here."""
+    args = _tiny_args(tmp_path, name="smoke_covmmd", cov_mmd=True,
+                      cov_mmd_num_samples=20, cov_mmd_num_batches=2,
+                      fpd=False, num_epochs=1)
+    train_ds, valid_ds = _datasets()
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    trainer.train()
+    cov, mmd = trainer.losses["cov_mmd"][-1]
+    assert 0 <= cov <= 1 and np.isfinite(mmd)
+
+
+def test_wz_jets_datasets():
+    """w/z jet types have no fixed feature-max table: maxes derive from data
+    (data/normalize.py)."""
+    from mpgan_tpu.data.jetnet import JetNetDataset
+
+    ds = JetNetDataset("w", data_dir=None, num_particles=20, synthetic_num_jets=300)
+    assert ds.particle_data.shape[-1] == 4
+    assert np.abs(ds.particle_data[..., :3]).max() <= 1.0 + 1e-5
+    assert ds.particle_normalisation.feature_maxes is not None
