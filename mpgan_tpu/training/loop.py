@@ -99,7 +99,13 @@ class Trainer:
             pmean_axis="data" if mesh is not None else None,
         )
 
+        def dg_step(state, *batch):
+            state, dm = d_step(state, *batch)
+            state, gm = g_step(state, *batch)
+            return state, {**dm, **gm}
+
         n_batch_args = 2 if self.use_labels else 1
+        self.dg_step = None
         if mesh is not None:
             # per-shard execution via shard_map: the fused Pallas kernels run
             # locally on every chip, gradients pmean over ICI
@@ -109,9 +115,17 @@ class Trainer:
             self.g_step = shard_map_step(
                 g_step, mesh, num_batch_args=n_batch_args, donate_state=False
             )
+            if args.num_critic == 1 and args.num_gen == 1:
+                self.dg_step = shard_map_step(
+                    dg_step, mesh, num_batch_args=n_batch_args, donate_state=False
+                )
         else:
             self.d_step = jax.jit(d_step)
             self.g_step = jax.jit(g_step)
+            if args.num_critic == 1 and args.num_gen == 1:
+                # one dispatch per batch (D+G fused) — halves per-step launch
+                # overhead (train.py runs both every batch in this regime)
+                self.dg_step = jax.jit(dg_step)
 
         # resume (setup_training.py:1138-1152)
         self.state = init_train_state(
@@ -157,7 +171,10 @@ class Trainer:
 
     def train_epoch(self, epoch: int, loader: BatchLoader) -> dict[str, float]:
         args = self.args
-        epoch_loss = {k: 0.0 for k in self.d_loss_keys + ["G"]}
+        # accumulate metrics as device scalars: no host sync inside the
+        # epoch, so step dispatches pipeline (critical over high-latency
+        # links and for keeping the device queue full)
+        epoch_loss = {k: jax.numpy.zeros(()) for k in self.d_loss_keys + ["G"]}
         num_batches = len(loader)
         for batch_ndx, batch in enumerate(loader):
             data = jax.numpy.asarray(batch[0])
@@ -165,19 +182,30 @@ class Trainer:
             if self.use_labels:
                 step_args = (data, jax.numpy.asarray(batch[1]))
 
+            if self.dg_step is not None:
+                self.state, metrics = self.dg_step(self.state, *step_args)
+                for key in self.d_loss_keys + ["G"]:
+                    epoch_loss[key] = epoch_loss[key] + metrics[key]
+                if args.get("break_zero") and batch_ndx == 0:
+                    break
+                if args.get("bottleneck") and batch_ndx == 10:
+                    break
+                continue
+
             if args.num_critic > 1 or (batch_ndx == 0 or (batch_ndx - 1) % args.num_gen == 0):
                 self.state, d_metrics = self.d_step(self.state, *step_args)
                 for key in self.d_loss_keys:
-                    epoch_loss[key] += float(d_metrics[key])
+                    epoch_loss[key] = epoch_loss[key] + d_metrics[key]
             if args.num_critic == 1 or (batch_ndx - 1) % args.num_critic == 0:
                 self.state, g_metrics = self.g_step(self.state, *step_args)
-                epoch_loss["G"] += float(g_metrics["G"])
+                epoch_loss["G"] = epoch_loss["G"] + g_metrics["G"]
 
             if args.get("break_zero") and batch_ndx == 0:
                 break
             if args.get("bottleneck") and batch_ndx == 10:
                 break
 
+        epoch_loss = {k: float(v) for k, v in epoch_loss.items()}  # one sync
         for key in self.d_loss_keys:
             self.losses[key].append(epoch_loss[key] / (num_batches / args.num_gen))
         self.losses["G"].append(epoch_loss["G"] / (num_batches / args.num_critic))
