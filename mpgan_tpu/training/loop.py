@@ -83,7 +83,7 @@ class Trainer:
             aug_prob=args.aug_prob,
         )
         if mesh is None and args.get("mesh_shape"):
-            mesh = make_mesh(args.mesh_shape)
+            mesh = make_mesh(int(args.mesh_shape))  # CLI passes a string
         d_step, g_step = make_train_steps(
             step_cfg=step_cfg,
             g_apply=self.suite.g_apply,
