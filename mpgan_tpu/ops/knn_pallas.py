@@ -171,46 +171,69 @@ def _bwd_kernel(
         parts.append(jnp.broadcast_to(cond_ref[0].astype(jnp.float32), (tr * k, c)))
     a0 = jnp.concatenate(parts, axis=-1)
 
-    acts = [a0]
+    # recompute + backward as two interleaved half-row chains (independent
+    # per row, so Mosaic overlaps one half's MXU pass with the other's VPU
+    # epilogue — same trick as the forward kernels)
+    half = a0.shape[0] // 2
+    halves = [a0[:half], a0[half:]]
+    offs = [offset, None if offset is None else offset + half]
+    acts = [halves]  # acts[layer] = [half0, half1] inputs to layer
     pre = []
-    a = a0
+    cur = halves
     for layer in range(num_layers):
         w = wb[2 * layer][:]
         b = wb[2 * layer + 1][:]
-        z = (
+        zs = [
             jax.lax.dot_general(
-                a.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                c.astype(w.dtype), w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             + b.astype(jnp.float32)
-        )
-        pre.append(z)
-        a = _leaky(z, alpha)
+            for c in cur
+        ]
+        pre.append(zs)
+        cur = [_leaky(z, alpha) for z in zs]
         if dropout_p > 0:
-            a = a * _dropmul(a.shape, dropout_p, seed, layer, offset)
-        acts.append(a)
+            cur = [
+                c * _dropmul(c.shape, dropout_p, seed, layer, o)
+                for c, o in zip(cur, offs)
+            ]
+        acts.append(cur)
 
     # ---- backward
     g = g_ref[0].astype(jnp.float32)  # [TR, H_out]
     if not sum_agg:
         g = g / k
-    h_out = acts[-1].shape[-1]
+    h_out = acts[-1][0].shape[-1]
+    a_last = jnp.concatenate(acts[-1], axis=0)
     g_rows = jnp.broadcast_to(g[:, None, :], (tr, k, h_out)).reshape(tr * k, h_out)
-    dsmask = jnp.sum(acts[-1] * g_rows, axis=1, keepdims=True)  # [TR*k, 1]
-    da = g_rows * smask
+    dsmask = jnp.sum(a_last * g_rows, axis=1, keepdims=True)  # [TR*k, 1]
+    da_full = g_rows * smask
+    das = [da_full[:half], da_full[half:]]
 
     for layer in range(num_layers - 1, -1, -1):
         if dropout_p > 0:
-            da = da * _dropmul(da.shape, dropout_p, seed, layer, offset)
-        dz = da * _dleaky(pre[layer], alpha)
+            das = [
+                d * _dropmul(d.shape, dropout_p, seed, layer, o)
+                for d, o in zip(das, offs)
+            ]
+        dzs = [d * _dleaky(pre[layer][h], alpha) for h, d in enumerate(das)]
         w = wb[2 * layer][:].astype(jnp.float32)
-        dwb[2 * layer][:] += jax.lax.dot_general(
-            acts[layer], dz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dwb[2 * layer].dtype)
-        dwb[2 * layer + 1][:] += jnp.sum(dz, axis=0).astype(dwb[2 * layer + 1].dtype)
-        da = jax.lax.dot_general(
-            dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        for h in (0, 1):
+            dwb[2 * layer][:] += jax.lax.dot_general(
+                acts[layer][h], dzs[h], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dwb[2 * layer].dtype)
+        dwb[2 * layer + 1][:] += (
+            jnp.sum(dzs[0], axis=0) + jnp.sum(dzs[1], axis=0)
+        ).astype(dwb[2 * layer + 1].dtype)
+        das = [
+            jax.lax.dot_general(
+                dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            for dz in dzs
+        ]
+    da = jnp.concatenate(das, axis=0)
 
     # split da0 into the assembled parts
     col = 0
