@@ -290,58 +290,77 @@ def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
     u2 = u2_ref[:].astype(jnp.float32)
     mask = mask_ref[:].astype(jnp.float32)  # [JB, N, 1]
 
+    # interleaved half-row recompute + backward (see the receiver-mode
+    # kernel); jb is a power of two, so halves split cleanly along jets
     z = (u1[:, :, None, :] + u2[:, None, :, :]).reshape(jb * n * n, -1)
-    acts = [None] * num_layers
-    pre = [None] * num_layers
-    pre[0] = z
-    acts[0] = _leaky(z, alpha)
+    half = (jb * n * n) // 2
+    offs = [gidx, None if gidx is None else gidx + half]
+    cur = [z[:half], z[half:]]
+    pre = [cur]
+    a0h = [_leaky(c, alpha) for c in cur]
     if dropout_p > 0:
-        acts[0] = acts[0] * _dropmul(acts[0].shape, dropout_p, seed, 0, gidx)
+        a0h = [c * _dropmul(c.shape, dropout_p, seed, 0, o) for c, o in zip(a0h, offs)]
+    acts = [a0h]
+    cur = a0h
     for layer in range(num_layers - 1):
         w = wb[2 * layer][:]
         bb = wb[2 * layer + 1][:]
-        zk = (
+        zs = [
             jax.lax.dot_general(
-                acts[layer].astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                c.astype(w.dtype), w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             + bb.astype(jnp.float32)
-        )
-        pre[layer + 1] = zk
-        acts[layer + 1] = _leaky(zk, alpha)
+            for c in cur
+        ]
+        pre.append(zs)
+        cur = [_leaky(zk, alpha) for zk in zs]
         if dropout_p > 0:
-            acts[layer + 1] = acts[layer + 1] * _dropmul(
-                acts[layer + 1].shape, dropout_p, seed, layer + 1, gidx
-            )
+            cur = [
+                c * _dropmul(c.shape, dropout_p, seed, layer + 1, o)
+                for c, o in zip(cur, offs)
+            ]
+        acts.append(cur)
 
     g = g_ref[:].astype(jnp.float32)  # [JB, N, H_out]
     if not sum_agg:
         g = g / n
-    h_out = acts[-1].shape[-1]
-    a_last = acts[-1].reshape(jb, n, n, h_out)
+    h_out = acts[-1][0].shape[-1]
+    a_last = jnp.concatenate(acts[-1], axis=0).reshape(jb, n, n, h_out)
     dmask_ref[:] = jnp.sum(a_last * g[:, :, None, :], axis=(1, 3))[..., None].astype(
         dmask_ref.dtype
     )
-    da = (g[:, :, None, :] * mask[:, None, :, :]).reshape(jb * n * n, -1)
+    da_full = (g[:, :, None, :] * mask[:, None, :, :]).reshape(jb * n * n, -1)
+    das = [da_full[:half], da_full[half:]]
 
     for layer in range(num_layers - 1, 0, -1):
         if dropout_p > 0:
-            da = da * _dropmul(da.shape, dropout_p, seed, layer, gidx)
-        dz = da * _dleaky(pre[layer], alpha)
+            das = [
+                d * _dropmul(d.shape, dropout_p, seed, layer, o)
+                for d, o in zip(das, offs)
+            ]
+        dzs = [d * _dleaky(pre[layer][h], alpha) for h, d in enumerate(das)]
         w = wb[2 * (layer - 1)][:].astype(jnp.float32)
-        dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
-            acts[layer - 1], dz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dwb[2 * (layer - 1)].dtype)
-        dwb[2 * (layer - 1) + 1][:] += jnp.sum(dz, axis=0).astype(
-            dwb[2 * (layer - 1) + 1].dtype
-        )
-        da = jax.lax.dot_general(
-            dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        for h in (0, 1):
+            dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
+                acts[layer - 1][h], dzs[h], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dwb[2 * (layer - 1)].dtype)
+        dwb[2 * (layer - 1) + 1][:] += (
+            jnp.sum(dzs[0], axis=0) + jnp.sum(dzs[1], axis=0)
+        ).astype(dwb[2 * (layer - 1) + 1].dtype)
+        das = [
+            jax.lax.dot_general(
+                dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            for dz in dzs
+        ]
 
     if dropout_p > 0:
-        da = da * _dropmul(da.shape, dropout_p, seed, 0, gidx)
-    dz1 = (da * _dleaky(pre[0], alpha)).reshape(jb, n, n, -1)
+        das = [d * _dropmul(d.shape, dropout_p, seed, 0, o) for d, o in zip(das, offs)]
+    dz1 = jnp.concatenate(
+        [d * _dleaky(pre[0][h], alpha) for h, d in enumerate(das)], axis=0
+    ).reshape(jb, n, n, -1)
     du1_ref[:] = jnp.sum(dz1, axis=2).astype(du1_ref.dtype)
     du2_ref[:] = jnp.sum(dz1, axis=1).astype(du2_ref.dtype)
 
@@ -417,64 +436,80 @@ def _bwd_kernel(
     seed = seed_ref[0] if dropout_p > 0 else None
     gidx = _pair_offset_receiver_mode(ti, n) if dropout_p > 0 else None
 
-    # recompute forward in f32, stashing pre-activations; dropout
-    # multipliers are regenerated (not stored) wherever needed — the
-    # stateless hash makes replay free and saves a full activation-set of
-    # VMEM in this backward
+    # recompute + backward as two interleaved half-row chains (independent
+    # halves expose MXU/VPU overlap, mirroring the forward kernels).
+    # Dropout multipliers are regenerated, never stored: the stateless hash
+    # makes replay free and the half offsets reproduce the unsplit masks.
     z = (u1[:, None, :] + u2[None, :, :]).reshape(ti * n, -1)
-    acts = [None] * num_layers  # post-activation (incl. dropout) per layer
-    pre = [None] * num_layers  # pre-activation per layer
-    pre[0] = z
-    acts[0] = _leaky(z, alpha)
+    half = (ti * n) // 2
+    offs = [gidx, None if gidx is None else gidx + half]
+    cur = [z[:half], z[half:]]
+    pre = [cur]
+    a0h = [_leaky(c, alpha) for c in cur]
     if dropout_p > 0:
-        acts[0] = acts[0] * _dropmul(acts[0].shape, dropout_p, seed, 0, gidx)
+        a0h = [c * _dropmul(c.shape, dropout_p, seed, 0, o) for c, o in zip(a0h, offs)]
+    acts = [a0h]
+    cur = a0h
     for layer in range(num_layers - 1):
         w = wb[2 * layer][:]
         bb = wb[2 * layer + 1][:]
-        zk = (
+        zs = [
             jax.lax.dot_general(
-                acts[layer].astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                c.astype(w.dtype), w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             + bb.astype(jnp.float32)
-        )
-        pre[layer + 1] = zk
-        acts[layer + 1] = _leaky(zk, alpha)
+            for c in cur
+        ]
+        pre.append(zs)
+        cur = [_leaky(zk, alpha) for zk in zs]
         if dropout_p > 0:
-            acts[layer + 1] = acts[layer + 1] * _dropmul(
-                acts[layer + 1].shape, dropout_p, seed, layer + 1, gidx
-            )
+            cur = [
+                c * _dropmul(c.shape, dropout_p, seed, layer + 1, o)
+                for c, o in zip(cur, offs)
+            ]
+        acts.append(cur)
 
     g = jnp.where(row_valid, g_ref[0].astype(jnp.float32), 0.0)  # [TI, H_out]
     if not sum_agg:
         g = g / n
-    a_last = acts[-1].reshape(ti, n, -1)
+    a_last = jnp.concatenate(acts[-1], axis=0).reshape(ti, n, -1)
     # dmask[j] += sum_i sum_h g[i,h] * a_last[i,j,h]
     dmask_ref[0] += jnp.sum(a_last * g[:, None, :], axis=(0, 2))[:, None].astype(
         dmask_ref.dtype
     )
     # grad into a_last (before mask): g[i] * mask[j]
-    da = (g[:, None, :] * mask[None, :, :]).reshape(ti * n, -1)
+    da_full = (g[:, None, :] * mask[None, :, :]).reshape(ti * n, -1)
+    das = [da_full[:half], da_full[half:]]
 
     for layer in range(num_layers - 1, 0, -1):
         if dropout_p > 0:
-            da = da * _dropmul(da.shape, dropout_p, seed, layer, gidx)
-        dz = da * _dleaky(pre[layer], alpha)  # [TI*N, H_layer], f32
+            das = [
+                d * _dropmul(d.shape, dropout_p, seed, layer, o)
+                for d, o in zip(das, offs)
+            ]
+        dzs = [d * _dleaky(pre[layer][h], alpha) for h, d in enumerate(das)]
         w = wb[2 * (layer - 1)][:].astype(jnp.float32)
-        # weight grads: acts[layer-1]^T @ dz
-        dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
-            acts[layer - 1], dz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dwb[2 * (layer - 1)].dtype)
-        dwb[2 * (layer - 1) + 1][:] += jnp.sum(dz, axis=0).astype(
-            dwb[2 * (layer - 1) + 1].dtype
-        )
-        da = jax.lax.dot_general(
-            dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(da.dtype)
+        for h in (0, 1):
+            dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
+                acts[layer - 1][h], dzs[h], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dwb[2 * (layer - 1)].dtype)
+        dwb[2 * (layer - 1) + 1][:] += (
+            jnp.sum(dzs[0], axis=0) + jnp.sum(dzs[1], axis=0)
+        ).astype(dwb[2 * (layer - 1) + 1].dtype)
+        das = [
+            jax.lax.dot_general(
+                dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            for dz in dzs
+        ]
 
     if dropout_p > 0:
-        da = da * _dropmul(da.shape, dropout_p, seed, 0, gidx)
-    dz1 = (da * _dleaky(pre[0], alpha)).reshape(ti, n, -1)
+        das = [d * _dropmul(d.shape, dropout_p, seed, 0, o) for d, o in zip(das, offs)]
+    dz1 = jnp.concatenate(
+        [d * _dleaky(pre[0][h], alpha) for h, d in enumerate(das)], axis=0
+    ).reshape(ti, n, -1)
     du1_ref[0] = jnp.sum(dz1, axis=1).astype(du1_ref.dtype)
     du2_ref[0] += jnp.sum(dz1, axis=0).astype(du2_ref.dtype)
 
