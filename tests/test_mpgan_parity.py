@@ -87,18 +87,19 @@ def _mp_g_args(reference_path):
     return from_args_txt(str(reference_path / "trained_models/mp_g/args.txt"))
 
 
-def test_generator_parity_trained_weights(reference_path, torch):
-    """Flagship golden test: trained_models/mp_g generator weights produce
-    identical jets in torch and JAX from the same noise."""
+@pytest.mark.parametrize("jet", ["g", "t", "q"])
+def test_generator_parity_trained_weights(reference_path, torch, jet):
+    """Flagship golden test: trained_models/mp_{g,t,q} generator weights
+    produce identical jets in torch and JAX from the same noise."""
     import setup_training as ref_setup
 
-    args_txt = reference_path / "trained_models/mp_g/args.txt"
+    args_txt = reference_path / f"trained_models/mp_{jet}/args.txt"
     ref_args = ref_setup.objectview(ast.literal_eval(args_txt.read_text()))
     G_ref = ref_setup.setup_mpgan(ref_args, gen=True).eval()
-    sd_path = str(reference_path / "trained_models/mp_g/G_best_epoch.pt")
+    sd_path = str(reference_path / f"trained_models/mp_{jet}/G_best_epoch.pt")
     G_ref.load_state_dict(torch.load(sd_path, map_location="cpu"))
 
-    cfg = build_mpgan_generator(_mp_g_args(reference_path))
+    cfg = build_mpgan_generator(from_args_txt(str(args_txt)))
     params, state = mp_generator_from_torch(load_torch_state_dict(sd_path), cfg)
 
     rng = np.random.RandomState(7)
