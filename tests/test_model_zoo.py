@@ -19,7 +19,7 @@ FAMILIES = [
 
 
 @pytest.mark.parametrize("family", FAMILIES)
-@pytest.mark.parametrize("jet", ["g"])
+@pytest.mark.parametrize("jet", ["g", "t", "q"])
 def test_zoo_generator_import(reference_path, family, jet):
     card = reference_path / f"trained_models/{family}_{jet}/args.txt"
     sd_path = reference_path / f"trained_models/{family}_{jet}/G_best_epoch.pt"
