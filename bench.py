@@ -36,7 +36,11 @@ REPEATS = 3
 
 
 def bench_generator(
-    num_particles: int, batch: int, use_pallas: bool = True, num_knn: int | None = None
+    num_particles: int,
+    batch: int,
+    use_pallas: bool = True,
+    num_knn: int | None = None,
+    fe: list | None = None,
 ) -> float:
     from mpgan_tpu.models.mpgan import mp_generator_apply, mp_generator_init
     from mpgan_tpu.training.config import build_mpgan_generator, from_args_dict
@@ -46,6 +50,8 @@ def bench_generator(
     }
     if num_knn is not None:
         overrides.update({"fully_connected": False, "num_knn": num_knn})
+    if fe is not None:
+        overrides["fe"] = fe
     args = from_args_dict(overrides)
     g_cfg = build_mpgan_generator(args)
     params, state = mp_generator_init(jax.random.PRNGKey(0), g_cfg)
@@ -76,7 +82,21 @@ def bench_generator(
     return batch * ITERS / best
 
 
-def bench_train_step(num_particles: int, batch: int) -> float:
+# Defended train-step baseline scaling: one LSGAN train step (num_critic =
+# num_gen = 1, the reference defaults) costs, in forward-equivalents with
+# backward ~ 2x forward and D ~ G per-jet cost (both are mp_iters=2 MP nets):
+#   D-step: D(real) fwd + D(fake) fwd + G fwd (no grad) + bwd through both D
+#           passes (2x2) = 7 units
+#   G-step: G fwd + D fwd + bwd through D and G (2+2) = 6 units
+# = 13 forward-equivalents per jet vs 1 for generation, so the A100 training
+# baseline at 150p is 1,120.4 / 13 = 86.2 jets/s. The derivation is a FLOP
+# model, not a measurement — raw ms/step is reported alongside.
+TRAIN_STEP_FWD_EQUIV = 13.0
+
+
+def bench_train_step(
+    num_particles: int, batch: int, num_knn: int | None = None
+) -> float:
     """Full GAN train step (D update + G update) per-step milliseconds on the
     flagship config with the fused kernel (disc dropout runs in-kernel)."""
     from mpgan_tpu.models.mpgan import (
@@ -94,9 +114,10 @@ def bench_train_step(num_particles: int, batch: int) -> float:
     from mpgan_tpu.training.sampling import NoiseSpec
     from mpgan_tpu.training.train_step import StepConfig, init_train_state, make_train_steps
 
-    args = from_args_dict(
-        {"model": "mpgan", "jets": "g", "num_hits": num_particles, "use_pallas": True}
-    )
+    overrides = {"model": "mpgan", "jets": "g", "num_hits": num_particles, "use_pallas": True}
+    if num_knn is not None:
+        overrides.update({"fully_connected": False, "num_knn": num_knn})
+    args = from_args_dict(overrides)
     g_cfg = build_mpgan_generator(args)
     d_cfg = build_mpgan_discriminator(args)
     spec = NoiseSpec((num_particles, 32), 0.2)
@@ -143,9 +164,16 @@ def bench_train_step(num_particles: int, batch: int) -> float:
 def main() -> None:
     jets_150 = bench_generator(150, batch=512)
     jets_150_knn = bench_generator(150, batch=512, num_knn=20)
+    # pad-free opt-in variant for new trainings: fe=[128,256] has ~equal
+    # G parameter count (371k vs 361k) but MXU-lane-aligned widths — no tile
+    # padding waste (see PERF.md "Speed of light"); not weight-compatible
+    # with the reference flagship, hence a separate line.
+    jets_150_pf = bench_generator(150, batch=512, fe=[128, 256])
     jets_30 = bench_generator(30, batch=4096)
     train_ms_30 = bench_train_step(30, batch=256)
+    train_ms_150_knn = bench_train_step(150, batch=128, num_knn=20)
 
+    train_150_jets = 128 * 1e3 / train_ms_150_knn
     result = {
         "metric": "mpgan_generation_jets_per_sec_per_chip_150p",
         "value": round(jets_150, 1),
@@ -159,7 +187,16 @@ def main() -> None:
             # (setup_training.py:826-834), fused gather-in-kernel path
             "jets_per_sec_150p_knn20": round(jets_150_knn, 1),
             "vs_baseline_150p_knn20": round(jets_150_knn / BASELINE_150P_JETS_PER_SEC, 2),
+            "jets_per_sec_150p_padfree_fe128_256": round(jets_150_pf, 1),
+            "vs_baseline_150p_padfree": round(jets_150_pf / BASELINE_150P_JETS_PER_SEC, 2),
             "train_step_ms_30p_b256": round(train_ms_30, 2),
+            "train_step_ms_150p_knn20_b128": round(train_ms_150_knn, 2),
+            "train_jets_per_sec_150p_knn20": round(train_150_jets, 1),
+            # baseline: 1,120.4 gen jets/s / 13 fwd-equivalents per trained
+            # jet (see TRAIN_STEP_FWD_EQUIV derivation above)
+            "vs_baseline_train_150p": round(
+                train_150_jets / (BASELINE_150P_JETS_PER_SEC / TRAIN_STEP_FWD_EQUIV), 2
+            ),
             "device": str(jax.devices()[0]),
         },
     }

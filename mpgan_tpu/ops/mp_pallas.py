@@ -43,6 +43,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+import os
+
+# interleaved-chain count for the in-kernel MLP (experiment knob; see
+# _split_mlp_chain). Rows must divide evenly; _pick_splits falls back.
+_DEFAULT_SPLITS = int(os.environ.get("MPGAN_TPU_KERNEL_SPLITS", "2"))
+
+
+def _pick_splits(rows: int) -> int:
+    s = _DEFAULT_SPLITS
+    while s > 1 and rows % s != 0:
+        s //= 2
+    return max(s, 1)
+
+
 def _leaky(x, alpha):
     # max(x, alpha*x) == leaky_relu for 0 <= alpha <= 1; cheaper on the VPU
     # than compare+select
@@ -88,25 +102,37 @@ def _dropmul(shape, dropout_p, seed, salt, offset):
     return jnp.where(h >= threshold, 1.0 / keep, 0.0)
 
 
-def _pair_offset_receiver_mode(ti: int, n: int):
+def _pair_offset_receiver_mode(ti: int, n: int, ns: int):
     """Global index of this block's first (receiver, sender) pair: rows run
-    jet-major then receiver-major then sender."""
-    return pl.program_id(0) * (n * n) + pl.program_id(1) * (ti * n)
+    jet-major then receiver-major then sender (sender dim padded to ``ns``).
+    Identical linear indexing ``b*n*ns + i*ns + j`` in both blocking modes,
+    so backward replays forward dropout masks regardless of mode choice."""
+    return pl.program_id(0) * (n * ns) + pl.program_id(1) * (ti * ns)
 
 
-def _pair_offset_jets_mode(jb: int, n: int):
-    return pl.program_id(0) * (jb * n * n)
+def _pair_offset_jets_mode(jb: int, n: int, ns: int):
+    return pl.program_id(0) * (jb * n * ns)
 
 
-def _split_mlp_chain(a, wb, num_hidden, alpha, dropout_p, seed, offset, first_salt):
-    """Run the hidden-layer matmul chain as two interleaved half-row chains:
-    the two chains are data-independent, so Mosaic overlaps one half's MXU
-    pass with the other half's VPU epilogue (~20% measured on the dense
-    kernel at N=150). Dropout offsets shift by the half size so the masks
-    equal the unsplit ones."""
-    half = a.shape[0] // 2
-    parts = [a[:half], a[half:]]
-    offs = [offset, None if offset is None else offset + half]
+def _pad_senders(n: int) -> int:
+    """Sender-dim padding target: the smallest multiple of the 8-row sublane
+    tile >= n. Without it, every ``[blk, N, H] -> [blk*N, H]`` reshape in the
+    kernels is a Mosaic relayout (ragged 8-row tiles) — measured 3x the cost
+    of the entire matmul chain at N=150 (17.9 ms -> 5.6 ms epilogue)."""
+    return ((n + 7) // 8) * 8
+
+
+def _split_mlp_chain(
+    a, wb, num_hidden, alpha, dropout_p, seed, offset, first_salt, n_splits=2
+):
+    """Run the hidden-layer matmul chain as ``n_splits`` interleaved row
+    chains: the chains are data-independent, so Mosaic overlaps one part's
+    MXU pass with another's VPU epilogue (~20% measured on the dense kernel
+    at N=150 with 2 splits). Dropout offsets shift by the part size so the
+    masks equal the unsplit ones."""
+    part = a.shape[0] // n_splits
+    parts = [a[k * part : (k + 1) * part] for k in range(n_splits)]
+    offs = [None if offset is None else offset + k * part for k in range(n_splits)]
     for layer in range(num_hidden):
         w = wb[2 * layer][:]
         b = wb[2 * layer + 1][:]
@@ -132,6 +158,7 @@ def _fwd_kernel(
     sum_agg: bool,
     ti: int,
     n: int,
+    ns: int,
     dropout_p: float,
     *refs,
 ):
@@ -147,22 +174,25 @@ def _fwd_kernel(
     out_ref = refs[base + 3 + 2 * (num_layers - 1)]
 
     seed = seed_ref[0] if dropout_p > 0 else None
-    gidx = _pair_offset_receiver_mode(ti, n) if dropout_p > 0 else None
+    gidx = _pair_offset_receiver_mode(ti, n, ns) if dropout_p > 0 else None
 
     # broadcast-add in f32 (Mosaic can't shape-cast narrow bf16 vectors);
     # the MXU matmul chain runs in the weights' dtype with f32 accumulation
     u1 = u1_ref[0].astype(jnp.float32)  # [TI, H1]
-    u2 = u2_ref[0].astype(jnp.float32)  # [N, H1]
-    a = _leaky(u1[:, None, :] + u2[None, :, :], alpha)  # [TI, N, H1]
-    a = a.reshape(ti * n, -1)
+    u2 = u2_ref[0].astype(jnp.float32)  # [NS, H1] (senders padded to 8k)
+    a = _leaky(u1[:, None, :] + u2[None, :, :], alpha)  # [TI, NS, H1]
+    a = a.reshape(ti * ns, -1)
     if dropout_p > 0:
         a = a * _dropmul(a.shape, dropout_p, seed, 0, gidx)
-    a = _split_mlp_chain(a, wb, num_layers - 1, alpha, dropout_p, seed, gidx, 1)
+    a = _split_mlp_chain(
+        a, wb, num_layers - 1, alpha, dropout_p, seed, gidx, 1, _pick_splits(a.shape[0])
+    )
     h_out = a.shape[-1]
-    a = a.reshape(ti, n, h_out) * mask_ref[0][None, :, :].astype(jnp.float32)
+    # padded sender rows carry garbage activations; their mask is 0
+    a = a.reshape(ti, ns, h_out) * mask_ref[0][None, :, :].astype(jnp.float32)
     agg = jnp.sum(a, axis=1)
     if not sum_agg:
-        agg = agg / n
+        agg = agg / n  # mean over the true sender count
     out_ref[0] = agg.astype(out_ref.dtype)
 
 
@@ -183,6 +213,13 @@ def _edge_aggregate_fwd_impl(
     h_out = hidden[-1][0].shape[1] if hidden else h1
     jb = _pick_jb(b_sz, n, min(8, max(1, 4096 // (n * n)))) if n <= 64 else 1
 
+    ns = _pad_senders(n)
+    if ns != n:
+        # zero-padded senders: mask 0 kills their contribution; u2 rows 0
+        # keep the padded activations finite
+        u2 = jnp.pad(u2, ((0, 0), (0, ns - n), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, ns - n), (0, 0)))
+
     in_specs = []
     args = []
     if dropout_p > 0:
@@ -193,21 +230,23 @@ def _edge_aggregate_fwd_impl(
         grid = (b_sz // jb,)
         in_specs += [
             pl.BlockSpec((jb, n, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((jb, n, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((jb, n, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, ns, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((jb, ns, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ]
         out_spec = pl.BlockSpec((jb, n, h_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-        kernel = functools.partial(_fwd_kernel_jets, num_layers, alpha, sum_agg, jb, n, dropout_p)
+        kernel = functools.partial(
+            _fwd_kernel_jets, num_layers, alpha, sum_agg, jb, n, ns, dropout_p
+        )
     else:
         ti = min(block_receivers, n)
         grid = (b_sz, pl.cdiv(n, ti))
         in_specs += [
             pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ]
         out_spec = pl.BlockSpec((1, ti, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-        kernel = functools.partial(_fwd_kernel, num_layers, alpha, sum_agg, ti, n, dropout_p)
+        kernel = functools.partial(_fwd_kernel, num_layers, alpha, sum_agg, ti, n, ns, dropout_p)
 
     args += [u1, u2, mask]
     for w, b in hidden:
@@ -235,7 +274,7 @@ def _edge_aggregate_fwd_impl(
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
+def _fwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, ns, dropout_p, *refs):
     """Forward with JB whole jets per program — at N <= ~32 a single jet's
     [N^2, H] matmul underfills the MXU; batching jets multiplies the row
     count (e.g. 8 x 900 rows at N = 30)."""
@@ -247,24 +286,26 @@ def _fwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
     wb = refs[base + 3 : base + 3 + 2 * (num_layers - 1)]
     out_ref = refs[base + 3 + 2 * (num_layers - 1)]
     seed = seed_ref[0] if dropout_p > 0 else None
-    gidx = _pair_offset_jets_mode(jb, n) if dropout_p > 0 else None
+    gidx = _pair_offset_jets_mode(jb, n, ns) if dropout_p > 0 else None
 
     u1 = u1_ref[:].astype(jnp.float32)  # [JB, N, H]
-    u2 = u2_ref[:].astype(jnp.float32)
-    a = _leaky(u1[:, :, None, :] + u2[:, None, :, :], alpha)  # [JB, N, N, H]
-    a = a.reshape(jb * n * n, -1)
+    u2 = u2_ref[:].astype(jnp.float32)  # [JB, NS, H] (senders padded to 8k)
+    a = _leaky(u1[:, :, None, :] + u2[:, None, :, :], alpha)  # [JB, N, NS, H]
+    a = a.reshape(jb * n * ns, -1)
     if dropout_p > 0:
         a = a * _dropmul(a.shape, dropout_p, seed, 0, gidx)
-    a = _split_mlp_chain(a, wb, num_layers - 1, alpha, dropout_p, seed, gidx, 1)
+    a = _split_mlp_chain(
+        a, wb, num_layers - 1, alpha, dropout_p, seed, gidx, 1, _pick_splits(a.shape[0])
+    )
     h_out = a.shape[-1]
-    a = a.reshape(jb, n, n, h_out) * mask_ref[:][:, None, :, :].astype(jnp.float32)
+    a = a.reshape(jb, n, ns, h_out) * mask_ref[:][:, None, :, :].astype(jnp.float32)
     agg = jnp.sum(a, axis=2)
     if not sum_agg:
         agg = agg / n
     out_ref[:] = agg.astype(out_ref.dtype)
 
 
-def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
+def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, ns, dropout_p, *refs):
     base = 0
     if dropout_p > 0:
         seed_ref = refs[0]
@@ -277,7 +318,7 @@ def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
     du1_ref, du2_ref, dmask_ref = refs[out_off], refs[out_off + 1], refs[out_off + 2]
     dwb = refs[out_off + 3 :]
     seed = seed_ref[0] if dropout_p > 0 else None
-    gidx = _pair_offset_jets_mode(jb, n) if dropout_p > 0 else None
+    gidx = _pair_offset_jets_mode(jb, n, ns) if dropout_p > 0 else None
 
     pid = pl.program_id(0)
 
@@ -287,13 +328,13 @@ def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
             r[:] = jnp.zeros(r.shape, r.dtype)
 
     u1 = u1_ref[:].astype(jnp.float32)
-    u2 = u2_ref[:].astype(jnp.float32)
-    mask = mask_ref[:].astype(jnp.float32)  # [JB, N, 1]
+    u2 = u2_ref[:].astype(jnp.float32)  # [JB, NS, H]
+    mask = mask_ref[:].astype(jnp.float32)  # [JB, NS, 1]
 
     # interleaved half-row recompute + backward (see the receiver-mode
-    # kernel); jb is a power of two, so halves split cleanly along jets
-    z = (u1[:, :, None, :] + u2[:, None, :, :]).reshape(jb * n * n, -1)
-    half = (jb * n * n) // 2
+    # kernel); row count jb*n*ns is even, so the halves split cleanly
+    z = (u1[:, :, None, :] + u2[:, None, :, :]).reshape(jb * n * ns, -1)
+    half = (jb * n * ns) // 2
     offs = [gidx, None if gidx is None else gidx + half]
     cur = [z[:half], z[half:]]
     pre = [cur]
@@ -326,11 +367,11 @@ def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
     if not sum_agg:
         g = g / n
     h_out = acts[-1][0].shape[-1]
-    a_last = jnp.concatenate(acts[-1], axis=0).reshape(jb, n, n, h_out)
+    a_last = jnp.concatenate(acts[-1], axis=0).reshape(jb, n, ns, h_out)
     dmask_ref[:] = jnp.sum(a_last * g[:, :, None, :], axis=(1, 3))[..., None].astype(
         dmask_ref.dtype
     )
-    da_full = (g[:, :, None, :] * mask[:, None, :, :]).reshape(jb * n * n, -1)
+    da_full = (g[:, :, None, :] * mask[:, None, :, :]).reshape(jb * n * ns, -1)
     das = [da_full[:half], da_full[half:]]
 
     for layer in range(num_layers - 1, 0, -1):
@@ -360,7 +401,7 @@ def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, dropout_p, *refs):
         das = [d * _dropmul(d.shape, dropout_p, seed, 0, o) for d, o in zip(das, offs)]
     dz1 = jnp.concatenate(
         [d * _dleaky(pre[0][h], alpha) for h, d in enumerate(das)], axis=0
-    ).reshape(jb, n, n, -1)
+    ).reshape(jb, n, ns, -1)
     du1_ref[:] = jnp.sum(dz1, axis=2).astype(du1_ref.dtype)
     du2_ref[:] = jnp.sum(dz1, axis=1).astype(du2_ref.dtype)
 
@@ -385,6 +426,7 @@ def _bwd_kernel(
     sum_agg: bool,
     ti: int,
     n: int,
+    ns: int,
     dropout_p: float,
     *refs,
 ):
@@ -430,18 +472,18 @@ def _bwd_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0) + i * ti < n
     )  # [TI, 1]
     u1 = jnp.where(row_valid, u1_ref[0].astype(jnp.float32), 0.0)
-    u2 = u2_ref[0].astype(jnp.float32)
-    mask = mask_ref[0].astype(jnp.float32)  # [N, 1]
+    u2 = u2_ref[0].astype(jnp.float32)  # [NS, H]
+    mask = mask_ref[0].astype(jnp.float32)  # [NS, 1]
 
     seed = seed_ref[0] if dropout_p > 0 else None
-    gidx = _pair_offset_receiver_mode(ti, n) if dropout_p > 0 else None
+    gidx = _pair_offset_receiver_mode(ti, n, ns) if dropout_p > 0 else None
 
     # recompute + backward as two interleaved half-row chains (independent
     # halves expose MXU/VPU overlap, mirroring the forward kernels).
     # Dropout multipliers are regenerated, never stored: the stateless hash
     # makes replay free and the half offsets reproduce the unsplit masks.
-    z = (u1[:, None, :] + u2[None, :, :]).reshape(ti * n, -1)
-    half = (ti * n) // 2
+    z = (u1[:, None, :] + u2[None, :, :]).reshape(ti * ns, -1)
+    half = (ti * ns) // 2
     offs = [gidx, None if gidx is None else gidx + half]
     cur = [z[:half], z[half:]]
     pre = [cur]
@@ -473,13 +515,13 @@ def _bwd_kernel(
     g = jnp.where(row_valid, g_ref[0].astype(jnp.float32), 0.0)  # [TI, H_out]
     if not sum_agg:
         g = g / n
-    a_last = jnp.concatenate(acts[-1], axis=0).reshape(ti, n, -1)
+    a_last = jnp.concatenate(acts[-1], axis=0).reshape(ti, ns, -1)
     # dmask[j] += sum_i sum_h g[i,h] * a_last[i,j,h]
     dmask_ref[0] += jnp.sum(a_last * g[:, None, :], axis=(0, 2))[:, None].astype(
         dmask_ref.dtype
     )
     # grad into a_last (before mask): g[i] * mask[j]
-    da_full = (g[:, None, :] * mask[None, :, :]).reshape(ti * n, -1)
+    da_full = (g[:, None, :] * mask[None, :, :]).reshape(ti * ns, -1)
     das = [da_full[:half], da_full[half:]]
 
     for layer in range(num_layers - 1, 0, -1):
@@ -509,7 +551,7 @@ def _bwd_kernel(
         das = [d * _dropmul(d.shape, dropout_p, seed, 0, o) for d, o in zip(das, offs)]
     dz1 = jnp.concatenate(
         [d * _dleaky(pre[0][h], alpha) for h, d in enumerate(das)], axis=0
-    ).reshape(ti, n, -1)
+    ).reshape(ti, ns, -1)
     du1_ref[0] = jnp.sum(dz1, axis=1).astype(du1_ref.dtype)
     du2_ref[0] += jnp.sum(dz1, axis=0).astype(du2_ref.dtype)
 
@@ -524,6 +566,11 @@ def _edge_aggregate_bwd_impl(
     # backward holds all layer activations live; halve the jet block
     jb = _pick_jb(b_sz, n, min(4, max(1, 2048 // (n * n)))) if n <= 64 else 1
 
+    ns = _pad_senders(n)
+    if ns != n:
+        u2 = jnp.pad(u2, ((0, 0), (0, ns - n), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, ns - n), (0, 0)))
+
     in_specs = []
     args = []
     if dropout_p > 0:
@@ -532,26 +579,30 @@ def _edge_aggregate_bwd_impl(
 
     if jb > 1:
         grid = (b_sz // jb,)
-        blk = lambda feat: pl.BlockSpec((jb, n, feat), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-        in_specs += [blk(h1), blk(h1), blk(1)]
-        g_spec = blk(h_out)
-        du_specs = [blk(h1), blk(h1), blk(1)]
-        kernel = functools.partial(_bwd_kernel_jets, num_layers, alpha, sum_agg, jb, n, dropout_p)
+        blk = lambda rows, feat: pl.BlockSpec(
+            (jb, rows, feat), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [blk(n, h1), blk(ns, h1), blk(ns, 1)]
+        g_spec = blk(n, h_out)
+        du_specs = [blk(n, h1), blk(ns, h1), blk(ns, 1)]
+        kernel = functools.partial(
+            _bwd_kernel_jets, num_layers, alpha, sum_agg, jb, n, ns, dropout_p
+        )
     else:
         ti = min(block_receivers, n)
         grid = (b_sz, pl.cdiv(n, ti))
         in_specs += [
             pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ]
         g_spec = pl.BlockSpec((1, ti, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
         du_specs = [
             pl.BlockSpec((1, ti, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ]
-        kernel = functools.partial(_bwd_kernel, num_layers, alpha, sum_agg, ti, n, dropout_p)
+        kernel = functools.partial(_bwd_kernel, num_layers, alpha, sum_agg, ti, n, ns, dropout_p)
 
     args += [u1, u2, mask]
     for w, b in hidden:
@@ -563,8 +614,8 @@ def _edge_aggregate_bwd_impl(
 
     out_shapes = [
         jax.ShapeDtypeStruct((b_sz, n, h1), u1.dtype),  # du1
-        jax.ShapeDtypeStruct((b_sz, n, h1), u1.dtype),  # du2 (accum over i)
-        jax.ShapeDtypeStruct((b_sz, n, 1), u1.dtype),  # dmask
+        jax.ShapeDtypeStruct((b_sz, ns, h1), u1.dtype),  # du2 (accum over i)
+        jax.ShapeDtypeStruct((b_sz, ns, 1), u1.dtype),  # dmask
     ]
     out_specs = list(du_specs)
     for w, b in hidden:
@@ -581,7 +632,7 @@ def _edge_aggregate_bwd_impl(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*args)
-    du1, du2, dmask = outs[0], outs[1], outs[2]
+    du1, du2, dmask = outs[0], outs[1][:, :n], outs[2][:, :n]
     dhidden = [(outs[3 + 2 * k], outs[4 + 2 * k]) for k in range(num_layers - 1)]
     return du1, du2, dmask, dhidden
 
