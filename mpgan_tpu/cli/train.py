@@ -9,6 +9,35 @@ import logging
 import sys
 
 
+def _reload_args_on_resume(args):
+    """When resuming an existing run, the saved args card is authoritative
+    (setup_training.py:1164-1177): everything is reloaded from
+    ``<name>_args.txt`` except ``num_epochs`` and — a path-robustness delta
+    vs the reference, which stores absolute paths in the card —
+    ``dir_path``/``datasets_path``. ``--override-args`` keeps the CLI args."""
+    import pathlib
+
+    from ..training import checkpoint as ckpt
+    from ..training.config import from_args_dict, from_args_txt
+
+    if not args.get("load_model", True) or args.get("override_args"):
+        return args
+    out_dir = pathlib.Path(args.dir_path or "outputs") / args.name
+    card = out_dir / f"{args.name}_args.txt"
+    if not card.exists() or ckpt.latest_epoch(out_dir / "models") == 0:
+        return args
+    loaded = from_args_txt(str(card)).to_dict()
+    loaded.update(
+        num_epochs=args.num_epochs,
+        dir_path=args.dir_path,
+        datasets_path=args.datasets_path,
+        load_model=True,
+        name=args.name,
+    )
+    logging.info(f"resuming: reloaded args from {card}")
+    return from_args_dict(loaded, apply_processing=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     from ..cli.args import parse_cli
     from ..data.jetnet import JetNetDataset
@@ -17,7 +46,8 @@ def main(argv: list[str] | None = None) -> None:
     from ..utils.logging_utils import init_logging
 
     args = parse_cli(argv)
-    init_logging(args.log, args.log_file)
+    init_logging(args.log, args.log_file)  # before load_args, like the reference
+    args = _reload_args_on_resume(args)
 
     data_kwargs = dict(
         jet_type=args.jets,

@@ -57,9 +57,29 @@ class Trainer:
         self.models_dir = self.out_dir / "models"
         self.losses_dir = self.out_dir / "losses"
         self.figs_dir = self.out_dir / "figs"
+        # name-collision guard (setup_training.py:1088-1094): refuse to
+        # overwrite an existing run unless resuming or explicitly overridden
+        if (
+            self.out_dir.exists()
+            and args.name != "test"
+            and not args.get("load_model", True)
+            and not args.get("override_load_check")
+        ):
+            raise RuntimeError(
+                "A model directory of this name already exists, either change "
+                "the name or use the --override-load-check flag"
+            )
         for d in (self.models_dir, self.losses_dir, self.figs_dir):
             d.mkdir(parents=True, exist_ok=True)
-        (self.out_dir / f"{args.name}_args.txt").write_text(str(args.to_dict()))
+
+        # resume detection first (setup_training.py:1138-1152), because the
+        # args card is written on fresh runs only — a resume must not clobber
+        # the original card (setup_training.py:1159-1163)
+        self.start_epoch = 0
+        if args.get("load_model", True):
+            self.start_epoch = ckpt.latest_epoch(self.models_dir)
+        if self.start_epoch == 0:
+            (self.out_dir / f"{args.name}_args.txt").write_text(str(args.to_dict()))
 
         self.use_labels = bool(args.get("mask_c") or args.clabels or args.get("gapt_mask"))
 
@@ -134,15 +154,11 @@ class Trainer:
             self.suite.g_cfg, self.suite.d_cfg,
             g_opt, d_opt,
         )
-        self.start_epoch = 0
-        if args.get("load_model", True):
-            latest = ckpt.latest_epoch(self.models_dir)
-            if latest > 0:
-                self.state = ckpt.load_train_state(
-                    ckpt.checkpoint_path(self.models_dir, latest), self.state
-                )
-                self.start_epoch = latest
-                logger.info(f"resumed from epoch {latest}")
+        if self.start_epoch > 0:
+            self.state = ckpt.load_train_state(
+                ckpt.checkpoint_path(self.models_dir, self.start_epoch), self.state
+            )
+            logger.info(f"resumed from epoch {self.start_epoch}")
 
         self.d_loss_keys = ["Dr", "Df", "D"] + (["gp"] if args.gp else [])
         self.eval_keys = ["w1p", "w1m"]
@@ -165,7 +181,20 @@ class Trainer:
             )
         else:
             self.losses = {k: [] for k in self.d_loss_keys + ["G"] + self.eval_keys}
-        self.best_epoch = [[0, 1e10]]
+        # best-epoch state survives a resume (setup_training.py:1588-1596) —
+        # otherwise the first post-resume eval would overwrite
+        # state_best_epoch.npz with a possibly worse model. The [0, 10.0]
+        # sentinel matches the reference's initial FPD bar exactly.
+        self.best_epoch = [[0, 10.0]]
+        if self.start_epoch > 0:
+            best_file = self.out_dir / "best_epoch.txt"
+            if best_file.exists():
+                arr = np.loadtxt(best_file)
+                if arr.ndim == 1:
+                    arr = arr[None]
+                self.best_epoch = arr.tolist()
+            else:
+                logger.info("best epoch file not found")
 
     # -- one epoch (train.py:812-886) ---------------------------------------
 
