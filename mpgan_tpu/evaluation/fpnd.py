@@ -151,6 +151,18 @@ def load_particlenet(path: str, cfg: ParticleNetConfig = ParticleNetConfig()) ->
 
     sd = load_torch_state_dict(path)
 
+    expected_probe = "edge_convs.0.convs.0.weight"
+    if expected_probe not in sd:
+        # first-contact diagnostics: the real jetnet file may spell keys
+        # differently — show both sides so a remap is a 5-minute patch
+        raise KeyError(
+            f"state dict at {path} does not match the expected ParticleNet "
+            f"schema (missing '{expected_probe}'). Found keys: "
+            f"{sorted(sd.keys())[:20]}... Expected weaver-style keys: "
+            "bn_fts.*, edge_convs.{i}.convs.{j}.weight, edge_convs.{i}."
+            "bns.{j}.*, edge_convs.{i}.sc.weight, edge_convs.{i}.sc_bn.*"
+        )
+
     def arr(k):
         return jnp.asarray(sd[k])
 
