@@ -74,11 +74,42 @@ def efp_multigraphs(max_d: int = 4) -> tuple[Graph, ...]:
     return tuple(graphs)
 
 
+@lru_cache(maxsize=None)
+def efp_composites(max_d: int = 4) -> tuple[tuple[int, ...], ...]:
+    """Composite EFPs with total degree <= max_d: multisets (as sorted index
+    tuples into ``efp_multigraphs(max_d)``) of >= 2 prime EFPs; the value of
+    a composite is the product of its primes' values (arXiv:1712.07124 §2).
+    15 composites at max_d=4, so primes+composites = 35 — the energyflow
+    ``("d<=", 4)`` basis size after dropping the trivial degree-0 constant."""
+    primes = efp_multigraphs(max_d)
+    out: list[tuple[int, ...]] = []
+
+    def rec(start: int, remaining: int, current: list[int]) -> None:
+        if len(current) >= 2:
+            out.append(tuple(current))
+        for i in range(start, len(primes)):
+            d = len(primes[i])
+            if d <= remaining:
+                rec(i, remaining - d, current + [i])
+
+    rec(0, max_d, [])
+    return tuple(sorted(out, key=lambda c: (sum(len(primes[i]) for i in c), c)))
+
+
 def _select_graphs(select: str) -> tuple[Graph, ...]:
-    """``"d<=4"``: all 20 prime EFPs of degree <= 4 (the reference's FPD
-    feature set, train.py:750-755). ``"n4d4"``: the 5 with exactly 4 vertices
-    and 4 edges (jetnet's w1efp set)."""
-    if select == "d<=4":
+    """``"d<=4"``: the 20 *prime* (connected) EFPs of degree <= 4.
+    ``"n4d4"``: the 5 with exactly 4 vertices and 4 edges (jetnet's w1efp
+    set, jetnet w1efp efpset_args=[("n==", 4), ("d==", 4)]).
+
+    For ``"d<=4-all"`` (handled in :func:`efps`) the 15 composite products
+    are appended, giving the 35-dimensional energyflow ``("d<=", 4)`` basis
+    (constant dropped). Column ORDER here is (degree, canonical-edge-list)
+    for primes then (total degree, index-tuple) for composites — energyflow
+    orders differently, but every metric built on these features (FPD
+    Frechet distance, per-column W1) is invariant to a consistent column
+    permutation of both sides, so only the SET must match for
+    comparability."""
+    if select in ("d<=4", "d<=4-all"):
         return efp_multigraphs(4)
     if select == "n4d4":
         return tuple(
@@ -149,4 +180,10 @@ def efps(
         np.asarray(_compute(jets[i : i + batch_size]))
         for i in range(0, jets.shape[0], batch_size)
     ]
-    return np.concatenate(chunks, axis=0).astype(np.float64)
+    vals = np.concatenate(chunks, axis=0).astype(np.float64)
+    if select == "d<=4-all":
+        comps = [
+            np.prod(vals[:, list(c)], axis=1) for c in efp_composites(4)
+        ]
+        vals = np.concatenate([vals, np.stack(comps, axis=1)], axis=1)
+    return vals
