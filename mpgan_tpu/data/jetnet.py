@@ -23,7 +23,12 @@ import pathlib
 
 import numpy as np
 
-from .normalize import FPND_FEATURE_MAXES, FeaturewiseLinear, FeaturewiseLinearBounded
+from .normalize import (
+    FPND_FEATURE_MAXES,
+    FPND_NORM_MAXES,
+    FeaturewiseLinear,
+    FeaturewiseLinearBounded,
+)
 
 
 def synthetic_jets(
@@ -129,14 +134,16 @@ class JetNetDataset:
             particles, jet_counts = particles[full], jet_counts[full]
 
         shifts = [0.0, 0.0, -0.5, -0.5] if mask_feature else [0.0, 0.0, -0.5]
-        maxes = FPND_FEATURE_MAXES.get(jet_type)
+        # g/q/t: the per-type tables the shipped checkpoints were trained
+        # with (gen.py:10-14); other types (w/z): the fixed fpnd_norm table
+        # the reference's train.py applies to every type (train.py:36-44) —
+        # never data-derived, so runs can't desync on sample-dependent maxes
+        maxes = FPND_FEATURE_MAXES.get(jet_type, FPND_NORM_MAXES)
         norm = FeaturewiseLinearBounded(
             feature_norms=1.0,
             feature_shifts=shifts,
-            feature_maxes=maxes[: len(shifts)] if maxes else None,
+            feature_maxes=maxes[: len(shifts)],
         )
-        if norm.feature_maxes is None:
-            norm.derive_maxes(particles[..., : len(shifts)])
         self.particle_normalisation = norm
         self.jet_normalisation = FeaturewiseLinear(feature_scales=1.0 / num_particles)
 

@@ -15,12 +15,25 @@ from __future__ import annotations
 import numpy as np
 
 # per-jet-type particle feature maxima as used for arXiv:2106.11535
-# (gen.py:10-14; identical to jetnet.datasets.JetNet.fpnd_norm.feature_maxes)
+# (gen.py:10-14) — the convention the shipped trained_models were
+# trained/unnormalized with, so weight-import fidelity uses these
 FPND_FEATURE_MAXES: dict[str, list[float]] = {
     "g": [1.4532885551452637, 0.520724892616272, 0.8537549376487732, 1.0],
     "q": [1.6211985349655151, 0.4568111002445221, 0.8896132111549377, 1.0],
     "t": [1.4242753982543945, 0.4949831962585449, 0.8774275183677673, 1.0],
 }
+
+# the single fixed table the reference's train.py head applies to EVERY jet
+# type (train.py:36-44 uses jetnet's ``JetNet.fpnd_norm.feature_maxes`` with
+# no per-type switch) — jet types without a per-type entry above (w, z)
+# normalize with these constants rather than data-derived maxes, so the
+# normalization never drifts with the sample
+FPND_NORM_MAXES: list[float] = [
+    1.6211985349655151,
+    0.4568111002445221,
+    0.8896132111549377,
+    1.0,
+]
 
 
 class FeaturewiseLinearBounded:

@@ -208,11 +208,16 @@ def test_trainer_cov_mmd(tmp_path):
 
 
 def test_wz_jets_datasets():
-    """w/z jet types have no fixed feature-max table: maxes derive from data
-    (data/normalize.py)."""
+    """w/z jet types normalize with the FIXED fpnd_norm table the reference's
+    train.py applies to every type (train.py:36-44) — never data-derived, so
+    normalization cannot drift with the sample."""
     from mpgan_tpu.data.jetnet import JetNetDataset
+    from mpgan_tpu.data.normalize import FPND_NORM_MAXES
 
     ds = JetNetDataset("w", data_dir=None, num_particles=20, synthetic_num_jets=300)
     assert ds.particle_data.shape[-1] == 4
-    assert np.abs(ds.particle_data[..., :3]).max() <= 1.0 + 1e-5
-    assert ds.particle_normalisation.feature_maxes is not None
+    assert ds.particle_normalisation.feature_maxes == FPND_NORM_MAXES
+    ds2 = JetNetDataset("z", data_dir=None, num_particles=20, synthetic_num_jets=100,
+                        seed=7)
+    # independent of the sample
+    assert ds2.particle_normalisation.feature_maxes == FPND_NORM_MAXES
