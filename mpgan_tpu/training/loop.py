@@ -51,6 +51,16 @@ class Trainer:
         self.valid_dataset = valid_dataset
         self.fpnd_fn = fpnd_fn
 
+        # NaN watchdog (SURVEY.md §5; old_model.py:363-416 checks every
+        # intermediate for NaN inside the model). Per-op host checks inside a
+        # jitted TPU program would force a sync per op, so the tpu-native
+        # equivalent is jax's own nan debugger: every primitive's output is
+        # checked at dispatch and the failing op is reported with its
+        # traceback. Opt-in (it disables async dispatch). The always-on
+        # epoch-level loss check lives in train_epoch.
+        if args.get("debug_nans"):
+            jax.config.update("jax_debug_nans", True)
+
         # directory scaffolding (setup_training.py:1086-1110)
         out_root = pathlib.Path(args.dir_path or "outputs")
         self.out_dir = out_root / args.name
@@ -235,10 +245,47 @@ class Trainer:
                 break
 
         epoch_loss = {k: float(v) for k, v in epoch_loss.items()}  # one sync
+        # epoch-level NaN watchdog (old_model.py:363-416 logs NaNs at every
+        # intermediate; here the first host sync is the cheap checkpoint —
+        # use --debug-nans for the per-op version)
+        bad = [k for k, v in epoch_loss.items() if not np.isfinite(v)]
+        if bad:
+            logger.warning(f"non-finite epoch losses at epoch {epoch}: {bad}")
+        # last-batch D-output debug (train.py:426,444,447 logs D real/fake
+        # outputs + G samples on the last batch of every epoch). The reference
+        # prints at INFO unconditionally; here it is gated behind --debug /
+        # DEBUG log level so the normal epoch loop stays one-sync.
+        if args.get("debug") or logger.isEnabledFor(logging.DEBUG):
+            self._log_d_outputs(step_args)
         for key in self.d_loss_keys:
             self.losses[key].append(epoch_loss[key] / (num_batches / args.num_gen))
         self.losses["G"].append(epoch_loss["G"] / (num_batches / args.num_critic))
         return epoch_loss
+
+    def _log_d_outputs(self, step_args: tuple) -> None:
+        """Log D(real), G samples, and D(fake) for one batch
+        (train.py:413-447, `print_output` on the last batch)."""
+        data = step_args[0]
+        labels = step_args[1] if len(step_args) > 1 else None
+        suite = self.suite
+        key = jax.random.PRNGKey(0)
+        if suite.encode_real is not None:
+            data = suite.encode_real(data)
+        real_out, _ = suite.d_apply(
+            suite.d_cfg, self.state.d_params, self.state.d_state, data, labels, train=False
+        )
+        noise, _ = suite.noise.sample(key, data.shape[0], data.dtype)
+        fake, _ = suite.g_apply(
+            suite.g_cfg, self.state.g_params, self.state.g_state, noise, labels, train=False
+        )
+        if suite.post_gen is not None:
+            fake = suite.post_gen(fake)
+        fake_out, _ = suite.d_apply(
+            suite.d_cfg, self.state.d_params, self.state.d_state, fake, labels, train=False
+        )
+        logger.info(f"D real output: \n {np.asarray(real_out[:10])}")
+        logger.info(f"G output: \n {np.asarray(fake[:2, :10])}")
+        logger.info(f"D fake output: \n {np.asarray(fake_out[:10])}")
 
     # -- evaluation + checkpoint + plots (train.py:686-809) ------------------
 
@@ -248,13 +295,19 @@ class Trainer:
 
         ds = self.valid_dataset
         n_eval = min(args.eval_tot_samples, len(ds))
-        real_norm = ds.particle_data[:n_eval]
+        if args.get("eval_shuffle"):
+            # real JetNet files are ordered; sample uniformly instead of the
+            # reference's first-n protocol (train.py:699) when asked
+            sel = np.sort(np.random.default_rng(args.seed).permutation(len(ds))[:n_eval])
+        else:
+            sel = slice(None, n_eval)
+        real_norm = ds.particle_data[sel]
         real_jets, real_mask = _corrected(
             ds.particle_normalisation(real_norm, inverse=True),
             self.use_labels, zero_mask_particles=False, zero_neg_pt=False,
         )
 
-        labels = ds.jet_data[:n_eval] if self.use_labels else None
+        labels = ds.jet_data[sel] if self.use_labels else None
         post_fn = None
         if self.suite.decode_eval is not None:
             post_fn = self.suite.decode_eval
@@ -305,6 +358,7 @@ class Trainer:
             plotting.plot_part_feats_jet_mass(
                 args.jets, real_jets, gen_jets, real_mask, gen_mask,
                 f"{epoch}pm", str(self.figs_dir),
+                num_particles=args.num_hits, losses=self.losses,
             )
             if len(self.losses["G"]) > 1:
                 plotting.plot_losses(self.losses, args.loss, str(epoch), str(self.losses_dir))
@@ -324,6 +378,12 @@ class Trainer:
                 self.best_epoch.append([epoch, score])
                 np.savetxt(self.out_dir / "best_epoch.txt", np.asarray(self.best_epoch))
                 np.save(self.out_dir / "best_epoch_gen_jets.npy", gen_jets)
+                # mask + per-metric snapshot alongside (train.py:801-804)
+                if gen_mask is not None:
+                    np.save(self.out_dir / "best_epoch_gen_mask.npy", gen_mask)
+                (self.out_dir / "best_epoch_losses.txt").write_text(
+                    str({key: self.losses[key][-1] for key in self.losses if self.losses[key]})
+                )
                 ckpt.save_train_state(self.out_dir / "state_best_epoch.npz", self.state)
 
     def _cached_real_efps(self, real_jets: np.ndarray) -> np.ndarray:

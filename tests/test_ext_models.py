@@ -219,3 +219,41 @@ def test_pcgan_latent_gan_and_decoder_shapes():
     z2 = jax.random.normal(jax.random.PRNGKey(4), (4, 30, 10))
     cloud, _ = g_pc_apply(cfg, pcp, {}, lat[:, None, :], z2)
     assert cloud.shape == (4, 30, 3)
+
+
+def test_graphcnn_nnconv_analytic():
+    """Hand-computed NNConv fixture (no torch_geometric needed): 4 nodes on a
+    line, k=2, edge net h(e) = diag(e0, e1), root = identity. PyG NNConv with
+    mean aggregation (ext_models.py:88-104) gives
+    ``out_i = x_i + mean_j x_j @ h(x_j - x_i)``; with second coords equal the
+    messages reduce to ``(mean_j xj0*(xj0-xi0), 0)`` — small integers,
+    verified below by hand (see VERDICT r1 weak-4)."""
+    from mpgan_tpu.models.ext.graphcnn import GraphCNNGANGConfig
+
+    cfg = GraphCNNGANGConfig(
+        latent_dim=1, layers=(2,), num_hits=4, node_feat_size=2, num_knn=2
+    )
+    params, state = graphcnn_g_init(jax.random.PRNGKey(0), cfg)
+
+    nodes = np.array([[0.0, 1.0], [1.0, 1.0], [3.0, 1.0], [10.0, 1.0]], np.float32)
+    # dense: w=0, b=flattened nodes; all entries >= 0 so leaky_relu is identity
+    params["dense"]["w"] = jnp.zeros_like(params["dense"]["w"])
+    params["dense"]["b"] = jnp.asarray(nodes.reshape(-1))
+    # edge net maps e=(e0,e1) to flat [in*out]=4 as [[e0,0],[0,e1]] row-major
+    params["convs"][0]["edge"]["w"] = jnp.asarray(
+        np.array([[1, 0], [0, 0], [0, 0], [0, 1]], np.float32)
+    )
+    params["convs"][0]["edge"]["b"] = jnp.zeros(4)
+    params["convs"][0]["root"]["w"] = jnp.eye(2)
+    params["convs"][0]["root"]["b"] = jnp.zeros(2)
+
+    out, _ = graphcnn_g_apply(cfg, params, state, jnp.zeros((1, 1)), train=False)
+
+    # knn (k=2, no self-loops): 0->{1,2}, 1->{0,2}, 2->{1,0}, 3->{2,1}
+    # node0: mean[(1*1, 0), (3*3, 0)] = (5, 0);   out = (0,1)+(5,0)  = (5, 1)
+    # node1: mean[(0*-1, 0), (3*2, 0)] = (3, 0);  out = (1,1)+(3,0)  = (4, 1)
+    # node2: mean[(1*-2, 0), (0*-3, 0)] = (-1,0); out = (3,1)+(-1,0) = (2, 1)
+    # node3: mean[(3*-7, 0), (1*-9, 0)] = (-15,0);out = (10,1)-(15,0)= (-5,1)
+    # eval-mode BN with mean=0, var=1 then scales by 1/sqrt(1 + 1e-5)
+    expected = np.array([[5, 1], [4, 1], [2, 1], [-5, 1]], np.float32) / np.sqrt(1 + 1e-5)
+    np.testing.assert_allclose(np.asarray(out[0]), expected, rtol=1e-5)

@@ -5,6 +5,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# slow tier: interpret-mode Pallas kernels run orders of magnitude
+# slower than compiled code; excluded from the fast logic tier via
+# `pytest -m "not kernel"` (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.kernel
+
 from mpgan_tpu.ops.mp import MPLayerConfig, mp_layer_apply, mp_layer_init
 
 

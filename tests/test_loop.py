@@ -221,3 +221,35 @@ def test_wz_jets_datasets():
                         seed=7)
     # independent of the sample
     assert ds2.particle_normalisation.feature_maxes == FPND_NORM_MAXES
+
+
+def test_debug_outputs_and_gen_mask_save(tmp_path, caplog):
+    """--debug logs D real/fake outputs per epoch (train.py:413-447) and the
+    best-epoch save includes the generated mask + per-metric losses snapshot
+    (train.py:800-804)."""
+    import logging
+
+    args = _tiny_args(tmp_path, debug=True)
+    train_ds, valid_ds = _datasets()
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    with caplog.at_level(logging.INFO, logger="mpgan_tpu.training.loop"):
+        trainer.train()
+    text = caplog.text
+    assert "D real output" in text and "D fake output" in text and "G output" in text
+
+    out = tmp_path / "smoke"
+    if (out / "best_epoch.txt").exists() and len(trainer.best_epoch) > 1:
+        assert (out / "best_epoch_gen_mask.npy").exists()
+        assert (out / "best_epoch_losses.txt").exists()
+        snap = (out / "best_epoch_losses.txt").read_text()
+        assert "w1m" in snap
+
+
+def test_eval_shuffle_option(tmp_path):
+    """--eval-shuffle draws a uniform sample instead of the first n_eval jets
+    (VERDICT weak-7: ordered real files would otherwise bias the eval)."""
+    args = _tiny_args(tmp_path, eval_shuffle=True, num_epochs=1)
+    train_ds, valid_ds = _datasets()
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    trainer.train()
+    assert len(trainer.losses["w1m"]) == 1

@@ -5,6 +5,7 @@ spectral norm through the fused kernel path."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -57,6 +58,7 @@ def test_mask_feat_bin_generator():
     assert set(np.unique(np.asarray(out[..., -1]))) <= {-1.5, 0.5}
 
 
+@pytest.mark.kernel  # interpret-mode Pallas: slow tier
 def test_spectral_norm_through_fused_path():
     """The fused kernel path must apply + advance spectral norm exactly like
     the jnp path (power iteration happens outside the kernel)."""

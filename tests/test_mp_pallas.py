@@ -5,6 +5,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# slow tier: interpret-mode Pallas kernels run orders of magnitude
+# slower than compiled code; excluded from the fast logic tier via
+# `pytest -m "not kernel"` (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.kernel
+
 import mpgan_tpu.ops.mp_pallas as mpp
 from mpgan_tpu.ops.mp import MPLayerConfig, mp_layer_apply
 from mpgan_tpu.models.mpgan import mp_generator_apply, mp_generator_init
