@@ -10,10 +10,14 @@ estimate:
 - the dense message-passing cost scales as N^2 (SURVEY.md §3.1), so the
   150-particle baseline estimate is 28,011 / 25 = 1,120 jets/s.
 
-Methodology: the per-config step runs ``ITERS`` iterations inside one jitted
-``fori_loop`` (single dispatch, one device sync) and we take the best of
-``REPEATS`` trials — the remote-tunnel link to the TPU adds large,
-intermittent per-dispatch latency that would otherwise pollute the numbers.
+Methodology: differential single-dispatch timing. Every dispatch over the
+remote tunnel to the TPU carries a large fixed round-trip cost (measured
+~35 ms for a trivial jitted scalar program — dominated by the link, not the
+device), so timing one loop dispatch overestimates per-iteration time by
+``fixed/ITERS``. Each config therefore runs ``ITERS`` and ``2*ITERS``
+iterations inside jitted ``fori_loop``s (single dispatch each, closed by a
+scalar readback) and the per-iteration time is ``(t2 - t1) / ITERS`` — the
+fixed dispatch cost cancels exactly. Best of ``REPEATS`` trials.
 
 Prints ONE JSON line; extra keys carry the 30-particle number and timing
 details.
@@ -21,6 +25,7 @@ details.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -33,6 +38,24 @@ BASELINE_150P_JETS_PER_SEC = BASELINE_30P_JETS_PER_SEC / 25.0  # N^2 scaling
 
 ITERS = 16
 REPEATS = 3
+
+
+def _differential_time(run, *args):
+    """Best-of-REPEATS seconds per ITERS iterations, fixed dispatch cost
+    cancelled: run(n_iters, *args) must be a jitted single-dispatch loop
+    returning a scalar."""
+    float(run(ITERS, *args))  # compile + warm both loop lengths
+    float(run(2 * ITERS, *args))
+    best = float("inf")
+    for _ in range(REPEATS):
+        t = time.perf_counter()
+        float(run(ITERS, *args))
+        t1 = time.perf_counter() - t
+        t = time.perf_counter()
+        float(run(2 * ITERS, *args))
+        t2 = time.perf_counter() - t
+        best = min(best, t2 - t1)
+    return best
 
 
 def bench_generator(
@@ -62,23 +85,17 @@ def bench_generator(
         ].astype(np.float32)
     )
 
-    @jax.jit
-    def run(params, state, key, labels):
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(n_iters, params, state, key, labels):
         def body(i, acc):
             noise = jax.random.normal(
                 jax.random.fold_in(key, i), (batch, num_particles, 32)
             ) * 0.2
             out, _ = mp_generator_apply(g_cfg, params, state, noise, labels)
             return acc + jnp.sum(out) * 1e-9
-        return jax.lax.fori_loop(0, ITERS, body, 0.0)
+        return jax.lax.fori_loop(0, n_iters, body, 0.0)
 
-    key = jax.random.PRNGKey(1)
-    float(run(params, state, key, labels))  # compile + warm
-    best = float("inf")
-    for r in range(REPEATS):
-        t = time.perf_counter()
-        float(run(params, state, jax.random.fold_in(key, r), labels))
-        best = min(best, time.perf_counter() - t)
+    best = _differential_time(run, params, state, jax.random.PRNGKey(1), labels)
     return batch * ITERS / best
 
 
@@ -143,21 +160,16 @@ def bench_train_step(
     )
     labels = jnp.asarray((counts / num_particles)[:, None].astype(np.float32))
 
-    @jax.jit
-    def run(state, data, labels):
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(n_iters, state, data, labels):
         def body(i, st):
             st, _ = d_step(st, data, labels)
             st, _ = g_step(st, data, labels)
             return st
-        st = jax.lax.fori_loop(0, ITERS, body, state)
+        st = jax.lax.fori_loop(0, n_iters, body, state)
         return jnp.sum(st.g_params["mp_layers"][0]["fe"]["layers"][0]["w"])
 
-    float(run(state, data, labels))
-    best = float("inf")
-    for _ in range(REPEATS):
-        t = time.perf_counter()
-        float(run(state, data, labels))
-        best = min(best, time.perf_counter() - t)
+    best = _differential_time(run, state, data, labels)
     return best / ITERS * 1e3
 
 

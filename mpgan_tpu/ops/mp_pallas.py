@@ -408,7 +408,9 @@ def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, ns, dropout_p, *refs):
 
 def _pick_jb(b_sz: int, n: int, block_jets: int) -> int:
     """Largest power-of-two jet block <= block_jets that divides the batch
-    (padded jets would contaminate the accumulated weight grads)."""
+    (padded jets would contaminate the accumulated weight grads).
+    ``MPGAN_TPU_BLOCK_JETS`` overrides the target for experiments."""
+    block_jets = int(os.environ.get("MPGAN_TPU_BLOCK_JETS", block_jets))
     jb = 1
     while jb * 2 <= block_jets and b_sz % (jb * 2) == 0:
         jb *= 2
