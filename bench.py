@@ -78,6 +78,7 @@ def bench_generator(
     args = from_args_dict(overrides)
     g_cfg = build_mpgan_generator(args)
     params, state = mp_generator_init(jax.random.PRNGKey(0), g_cfg)
+    flops_per_jet = _mpgan_gen_flops_per_jet(g_cfg, params, num_particles, num_knn)
 
     labels = jnp.asarray(
         (np.random.default_rng(0).integers(1, num_particles + 1, size=batch) / num_particles)[
@@ -92,6 +93,58 @@ def bench_generator(
                 jax.random.fold_in(key, i), (batch, num_particles, 32)
             ) * 0.2
             out, _ = mp_generator_apply(g_cfg, params, state, noise, labels)
+            return acc + jnp.sum(out) * 1e-9
+        return jax.lax.fori_loop(0, n_iters, body, 0.0)
+
+    best = _differential_time(run, params, state, jax.random.PRNGKey(1), labels)
+    rate = batch * ITERS / best
+    return rate, flops_per_jet * rate / V5E_BF16_PEAK_FLOPS
+
+
+V5E_BF16_PEAK_FLOPS = 197e12  # one-pass MXU peak (PERF.md "Speed of light")
+
+
+def _mpgan_gen_flops_per_jet(g_cfg, params, num_particles: int, num_knn: int | None) -> float:
+    """Logical (unpadded) MXU FLOPs per generated jet, from the parameter
+    shapes: fe layer 0 is decomposed to two node-level matmuls (2*N*in*out),
+    fe hidden layers are edge-level (E*2*in*out with E = N^2 dense or N*k),
+    fn layers are node-level. MFU against the bf16 one-pass peak; the padded
+    MXU duty cycle is higher (PERF.md)."""
+    n = num_particles
+    edges = n * num_knn if num_knn is not None else n * n
+    total = 0.0
+    for layer in params["mp_layers"]:
+        fe = layer["fe"]["layers"]
+        w0 = fe[0]["w"]
+        total += 2.0 * n * w0.shape[1] * w0.shape[0]
+        for lyr in fe[1:]:
+            w = lyr["w"]
+            total += 2.0 * edges * w.shape[1] * w.shape[0]
+        for lyr in layer["fn"]["layers"]:
+            w = lyr["w"]
+            total += 2.0 * n * w.shape[1] * w.shape[0]
+    return total
+
+
+def bench_gapt(num_particles: int, batch: int) -> float:
+    """GAPT generator throughput (SAB stack, gapt/model.py:251-274)."""
+    from mpgan_tpu.models.registry import build_suite
+    from mpgan_tpu.training.config import from_args_dict
+
+    args = from_args_dict({"model": "gapt", "jets": "g", "num_hits": num_particles})
+    suite = build_suite(args)
+    params, state = suite.g_init(jax.random.PRNGKey(0), suite.g_cfg)
+    labels = jnp.asarray(
+        (np.random.default_rng(0).integers(1, num_particles + 1, size=batch) / num_particles)[
+            :, None
+        ].astype(np.float32)
+    )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(n_iters, params, state, key, labels):
+        def body(i, acc):
+            noise, _ = suite.noise.sample(jax.random.fold_in(key, i), batch)
+            out, _ = suite.g_apply(suite.g_cfg, params, state, noise, labels)
             return acc + jnp.sum(out) * 1e-9
         return jax.lax.fori_loop(0, n_iters, body, 0.0)
 
@@ -174,14 +227,15 @@ def bench_train_step(
 
 
 def main() -> None:
-    jets_150 = bench_generator(150, batch=512)
-    jets_150_knn = bench_generator(150, batch=512, num_knn=20)
+    jets_150, mfu_150 = bench_generator(150, batch=512)
+    jets_150_knn, mfu_150_knn = bench_generator(150, batch=512, num_knn=20)
     # pad-free opt-in variant for new trainings: fe=[128,256] has ~equal
     # G parameter count (371k vs 361k) but MXU-lane-aligned widths — no tile
     # padding waste (see PERF.md "Speed of light"); not weight-compatible
     # with the reference flagship, hence a separate line.
-    jets_150_pf = bench_generator(150, batch=512, fe=[128, 256])
-    jets_30 = bench_generator(30, batch=4096)
+    jets_150_pf, mfu_150_pf = bench_generator(150, batch=512, fe=[128, 256])
+    jets_30, mfu_30 = bench_generator(30, batch=4096)
+    jets_30_gapt = bench_gapt(30, batch=4096)
     train_ms_30 = bench_train_step(30, batch=256)
     train_ms_150_knn = bench_train_step(150, batch=128, num_knn=20)
 
@@ -201,6 +255,15 @@ def main() -> None:
             "vs_baseline_150p_knn20": round(jets_150_knn / BASELINE_150P_JETS_PER_SEC, 2),
             "jets_per_sec_150p_padfree_fe128_256": round(jets_150_pf, 1),
             "vs_baseline_150p_padfree": round(jets_150_pf / BASELINE_150P_JETS_PER_SEC, 2),
+            "jets_per_sec_30p_gapt": round(jets_30_gapt, 1),
+            # logical-FLOP model FLOP utilization vs the bf16 one-pass peak
+            # (padded MXU duty is higher — PERF.md "Speed of light"; the
+            # dense-150p padding ratio is 2.13x, so e.g. mfu_150p 0.39
+            # logical = ~0.84 padded duty)
+            "mfu_150p": round(mfu_150, 3),
+            "mfu_150p_knn20": round(mfu_150_knn, 3),
+            "mfu_150p_padfree": round(mfu_150_pf, 3),
+            "mfu_30p": round(mfu_30, 3),
             "train_step_ms_30p_b256": round(train_ms_30, 2),
             "train_step_ms_150p_knn20_b128": round(train_ms_150_knn, 2),
             "train_jets_per_sec_150p_knn20": round(train_150_jets, 1),
