@@ -4,6 +4,10 @@ equivalent of the reference's --debug/--break-zero smoke path, SURVEY.md §4).""
 import numpy as np
 import pytest
 
+# end-to-end tier: minutes-long training/eval runs; excluded from the
+# fast logic tier via `pytest -m "not kernel and not slow"`
+pytestmark = pytest.mark.slow
+
 from mpgan_tpu.data.jetnet import JetNetDataset
 from mpgan_tpu.training.config import from_args_dict
 from mpgan_tpu.training.loop import Trainer

@@ -11,6 +11,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# end-to-end tier: minutes-long training/eval runs; excluded from the
+# fast logic tier via `pytest -m "not kernel and not slow"`
+pytestmark = pytest.mark.slow
+
 from mpgan_tpu.data.jetnet import gen_jet_corrections
 from mpgan_tpu.data.normalize import FPND_FEATURE_MAXES, FeaturewiseLinearBounded
 from mpgan_tpu.evaluation import w1m, w1p

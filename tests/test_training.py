@@ -7,6 +7,10 @@ import jax.numpy as jnp
 import optax
 import pytest
 
+# end-to-end tier: minutes-long training/eval runs; excluded from the
+# fast logic tier via `pytest -m "not kernel and not slow"`
+pytestmark = pytest.mark.slow
+
 from mpgan_tpu.models.mpgan import (
     MaskConfig,
     MPGeneratorConfig,
