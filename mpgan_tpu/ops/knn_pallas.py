@@ -282,7 +282,12 @@ def _common_specs(b_sz, n, k, tr, f, use_dists, use_cond, cond_c, dropout_p):
             pl.BlockSpec((1, tr * k, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
         )
     if use_cond:
-        in_specs.append(pl.BlockSpec((1, cond_c), lambda b, i: (b, 0), memory_space=pltpu.VMEM))
+        # cond rides as [B, 1, C]: a 2-D (1, C) block would violate Mosaic's
+        # last-two-dims divisible-by-(8,128)-or-full rule for any B > 1
+        # (caught by scripts/tpu_parity_check.py — interpret mode accepts it)
+        in_specs.append(
+            pl.BlockSpec((1, 1, cond_c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
     return in_specs
 
 
@@ -323,7 +328,7 @@ def _fwd_impl(x, mask, idx, dists, cond, weights, seed, *, alpha, sum_agg, dropo
     if use_dists:
         args.append(dists.reshape(b_sz, n * k, 1))
     if use_cond:
-        args.append(cond)
+        args.append(cond.reshape(b_sz, 1, cond_c))
     for w, bias in weights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -360,7 +365,7 @@ def _bwd_impl(x, mask, idx, dists, cond, weights, g, seed, *, alpha, sum_agg, dr
     if use_dists:
         args.append(dists.reshape(b_sz, n * k, 1))
     if use_cond:
-        args.append(cond)
+        args.append(cond.reshape(b_sz, 1, cond_c))
     for w, bias in weights:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -382,8 +387,10 @@ def _bwd_impl(x, mask, idx, dists, cond, weights, g, seed, *, alpha, sum_agg, dr
             pl.BlockSpec((1, tr * k, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
         )
     if use_cond:
-        out_shapes.append(jax.ShapeDtypeStruct((b_sz, cond_c), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, cond_c), lambda b, i: (b, 0), memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((b_sz, 1, cond_c), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, cond_c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
     for w, bias in weights:
         out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_shapes.append(jax.ShapeDtypeStruct(bias.shape, jnp.float32))
@@ -410,7 +417,7 @@ def _bwd_impl(x, mask, idx, dists, cond, weights, g, seed, *, alpha, sum_agg, dr
         ddists = outs[o]
         o += 1
     if use_cond:
-        dcond = outs[o]
+        dcond = outs[o].reshape(b_sz, cond_c)
         o += 1
     dweights = [(outs[o + 2 * i], outs[o + 1 + 2 * i]) for i in range(len(weights))]
     dx = dx1 + dxm[:, :, :f].astype(x.dtype)

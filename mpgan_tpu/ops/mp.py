@@ -27,6 +27,7 @@ used with batch size > 1. We broadcast the labels per batch element instead.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -259,7 +260,7 @@ def _mp_layer_apply_fused(
     train: bool,
     rng: jax.Array | None,
     update_sn: bool,
-    block_receivers: int = 32,
+    block_receivers: int = int(os.environ.get("MPGAN_TPU_BLOCK_RECEIVERS", "32")),
 ) -> tuple[jax.Array, dict]:
     """Fused edge path: decompose fe layer 1 into receiver/sender embeddings
     (+ per-jet conditioning folded into the sender term) and run the

@@ -1,0 +1,119 @@
+"""Compiled-kernel parity check on real TPU hardware.
+
+The test suite runs the Pallas kernels in *interpret mode* on CPU (it has no
+TPU); a Mosaic miscompile would be invisible to it. This script runs the
+fused MP kernels *compiled* on the attached TPU and compares forward values
+and parameter gradients against the pure-jnp reference path, across the
+configurations that matter (dense/knn, masked/unmasked, 30p/150p, train-mode
+dropout off, conditioning on/off).
+
+Run on a TPU host:  python scripts/tpu_parity_check.py
+Prints one PASS/FAIL line per config and exits nonzero on any FAIL.
+
+Tolerances: the fused kernel accumulates the hidden chain in f32 from bf16
+MXU passes, same as the jnp path under default matmul precision, but
+reduction orders differ — 2e-2 absolute on ~O(1) values (forward) and
+relative 2e-2 on gradient norms mirror the interpret-mode test tolerances
+(tests/test_mp_pallas.py).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpgan_tpu.ops.mp import MPLayerConfig, mp_layer_apply, mp_layer_init
+
+
+def _data(b, n, f, seed=0, masked=True):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, n, f).astype(np.float32) * 0.3)
+    mask = None
+    if masked:
+        counts = rng.randint(max(n // 2, 1), n + 1, size=b)
+        mask = jnp.asarray(
+            (np.arange(n)[None, :] < counts[:, None]).astype(np.float32)[..., None]
+        )
+    labels = jnp.asarray(rng.rand(b, 1).astype(np.float32))
+    return x, mask, labels
+
+
+def check(name, cfg, b, n, masked=True, clabels=0, tol=2e-2):
+    x, mask, labels = _data(b, n, cfg.input_node_size, masked=masked)
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    lab = labels if clabels else None
+
+    def fwd(params, use_pallas):
+        y, _ = mp_layer_apply(
+            cfg, params, state, x, mask=mask, labels=lab, use_pallas=use_pallas
+        )
+        return y
+
+    y_fused = jax.jit(lambda p: fwd(p, True))(params)
+    y_jnp = jax.jit(lambda p: fwd(p, False))(params)
+    fwd_err = float(jnp.max(jnp.abs(y_fused - y_jnp)))
+
+    def loss(params, use_pallas):
+        return jnp.sum(jnp.tanh(fwd(params, use_pallas)))
+
+    g_fused = jax.jit(jax.grad(lambda p: loss(p, True)))(params)
+    g_jnp = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
+    leaves_f = jax.tree_util.tree_leaves(g_fused)
+    leaves_j = jax.tree_util.tree_leaves(g_jnp)
+    grad_err = 0.0
+    for a, bb in zip(leaves_f, leaves_j):
+        denom = float(jnp.max(jnp.abs(bb))) + 1e-6
+        grad_err = max(grad_err, float(jnp.max(jnp.abs(a - bb))) / denom)
+
+    ok = fwd_err < tol and grad_err < tol
+    print(
+        f"{'PASS' if ok else 'FAIL'} {name}: fwd max|d|={fwd_err:.2e} "
+        f"grad rel max|d|={grad_err:.2e}"
+    )
+    return ok
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print("no TPU attached - this check needs real hardware")
+        return 1
+    mk = MPLayerConfig.build
+    ok = True
+    ok &= check(
+        "dense 30p flagship-shaped",
+        mk(32, [96, 160, 192], [256, 256], 32, clabels=1),
+        b=64, n=30, clabels=1,
+    )
+    ok &= check(
+        "dense 150p masked",
+        mk(32, [96, 160, 192], [256, 256], 32, clabels=1),
+        b=16, n=150, clabels=1,
+    )
+    ok &= check(
+        "dense unmasked mean-agg",
+        mk(16, [24, 32], [32], 16, sum_agg=False),
+        b=32, n=30, masked=False,
+    )
+    ok &= check(
+        "knn-20 150p masked",
+        mk(32, [96, 160, 192], [256, 256], 32, clabels=1,
+           fully_connected=False, num_knn=20),
+        b=16, n=150, clabels=1,
+    )
+    ok &= check(
+        "knn-10 30p",
+        mk(16, [24, 32], [32], 16, fully_connected=False, num_knn=10),
+        b=32, n=30,
+    )
+    print("ALL PASS" if ok else "FAILURES ABOVE")
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
