@@ -44,14 +44,16 @@ def _data(b, n, f, seed=0, masked=True):
     return x, mask, labels
 
 
-def check(name, cfg, b, n, masked=True, clabels=0, tol=2e-2):
+def check(name, cfg, b, n, masked=True, clabels=0, fne_np=False, tol=2e-2):
     x, mask, labels = _data(b, n, cfg.input_node_size, masked=masked)
     params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
     lab = labels if clabels else None
+    njp = jnp.sum(mask, axis=(1, 2)) / n if (fne_np and mask is not None) else None
 
     def fwd(params, use_pallas):
         y, _ = mp_layer_apply(
-            cfg, params, state, x, mask=mask, labels=lab, use_pallas=use_pallas
+            cfg, params, state, x, mask=mask, labels=lab,
+            num_jet_particles=njp, use_pallas=use_pallas,
         )
         return y
 
@@ -110,6 +112,17 @@ def main() -> int:
         "knn-10 30p",
         mk(16, [24, 32], [32], 16, fully_connected=False, num_knn=10),
         b=32, n=30,
+    )
+    ok &= check(
+        "knn-16 pos-diffs (use_dists path)",
+        mk(16, [24, 32], [32], 16, fully_connected=False, num_knn=16,
+           pos_diffs=True, all_ef=True),
+        b=32, n=30,
+    )
+    ok &= check(
+        "dense 30p mask_fne_np + clabels",
+        mk(16, [24, 32], [32], 16, clabels=1, mask_fne_np=True),
+        b=32, n=30, clabels=1, fne_np=True,
     )
     print("ALL PASS" if ok else "FAILURES ABOVE")
     return 0 if ok else 2
