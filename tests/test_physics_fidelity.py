@@ -45,15 +45,20 @@ def test_mp_g_distribution_parity(reference_path, torch):
     cfg = build_mpgan_generator(args)
     params, state = mp_generator_from_torch(load_torch_state_dict(sd_path), cfg)
 
-    n_samples = 2000
+    n_samples = 1000
     rng = np.random.RandomState(0)
     counts = rng.randint(5, 31, size=n_samples).astype(np.float32)
     labels = (counts / 30.0)[:, None].astype(np.float32)
 
-    # torch side (its own noise draw)
+    # torch side (its own noise draw), chunked: one 1000-jet dense forward
+    # peaks at ~GBs of [N^2-edge, width] activations on the 1-core box
     torch.manual_seed(0)
+    chunks = []
     with torch.no_grad():
-        ref_out = G_ref(torch.randn(n_samples, 30, 32) * 0.2, torch.from_numpy(labels)).numpy()
+        for lo in range(0, n_samples, 250):
+            lab = torch.from_numpy(labels[lo : lo + 250])
+            chunks.append(G_ref(torch.randn(lab.shape[0], 30, 32) * 0.2, lab).numpy())
+    ref_out = np.concatenate(chunks)
 
     # JAX side (independent noise draw)
     noise = jax.random.normal(jax.random.PRNGKey(1), (n_samples, 30, 32)) * 0.2
@@ -62,18 +67,18 @@ def test_mp_g_distribution_parity(reference_path, torch):
     ref_jets, _ = _unnorm(ref_out)
     our_jets, _ = _unnorm(ours)
 
-    w1m_same, w1m_std = w1m(ref_jets, our_jets, num_eval_samples=1000, num_batches=2)
+    w1m_same, w1m_std = w1m(ref_jets, our_jets, num_eval_samples=500, num_batches=2)
 
     # distance to a random-init generator with the same architecture
     rnd_params, rnd_state = mp_generator_init(jax.random.PRNGKey(7), cfg)
     rnd_out, _ = mp_generator_apply(cfg, rnd_params, rnd_state, noise, jnp.asarray(labels))
     rnd_jets, _ = _unnorm(rnd_out)
-    w1m_rand, _ = w1m(ref_jets, rnd_jets, num_eval_samples=1000, num_batches=2)
+    w1m_rand, _ = w1m(ref_jets, rnd_jets, num_eval_samples=500, num_batches=2)
 
     # same-distribution: statistically indistinguishable vs the random model
     assert w1m_same < 0.2 * w1m_rand, (w1m_same, w1m_rand)
     assert w1m_same < 5 * (w1m_std + 1e-4)
 
-    w1p_same, _ = w1p(ref_jets, our_jets, num_eval_samples=1000, num_batches=2)
-    w1p_rand, _ = w1p(ref_jets, rnd_jets, num_eval_samples=1000, num_batches=2)
+    w1p_same, _ = w1p(ref_jets, our_jets, num_eval_samples=500, num_batches=2)
+    w1p_rand, _ = w1p(ref_jets, rnd_jets, num_eval_samples=500, num_batches=2)
     assert (w1p_same < 0.2 * w1p_rand + 1e-6).all(), (w1p_same, w1p_rand)
