@@ -18,19 +18,29 @@ from scipy import linalg
 from .efp import efps
 
 
+def _psd_sqrt(sigma: np.ndarray) -> np.ndarray:
+    """Symmetric PSD square root via eigh with eigenvalue clipping."""
+    w, v = linalg.eigh((sigma + sigma.T) / 2.0)
+    return (v * np.sqrt(np.clip(w, 0.0, None))) @ v.T
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
-    """d^2 = |mu1 - mu2|^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) (Dowson-Landau),
-    with the standard eps-regularized matrix sqrt for near-singular products."""
+    """d^2 = |mu1 - mu2|^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) (Dowson-Landau).
+
+    ``Tr sqrt(C1 C2)`` is computed as ``sum sqrt(eig(S1 C2 S1))`` with
+    ``S1 = sqrt(C1)`` — everything stays symmetric-eigh with clipped
+    eigenvalues. ``scipy.linalg.sqrtm`` on the (non-symmetric, frequently
+    near-singular) product C1 C2 can silently overflow to ~1e296 on
+    degenerate EFP covariances; observed live during GAN training."""
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    covmean = linalg.sqrtm(sigma1.dot(sigma2))
-    if not np.isfinite(covmean).all():
-        offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
-    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+    s1_half = _psd_sqrt(sigma1)
+    inner = s1_half @ sigma2 @ s1_half
+    w = linalg.eigvalsh((inner + inner.T) / 2.0)
+    tr_covmean = float(np.sum(np.sqrt(np.clip(w, 0.0, None))))
+    d2 = float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * tr_covmean)
+    return max(d2, 0.0)  # clamp float-noise negatives on (near-)identical inputs
 
 
 def _gaussian_moments(x: np.ndarray):
@@ -66,8 +76,11 @@ def fgd_inf(
 
     means = vals.mean(axis=1)
     x = 1.0 / batches
+    finite = np.isfinite(means)
+    if finite.sum() < 3:
+        return float("inf"), float("inf")
     # linear fit y = a + b x; intercept a is FGD_inf
-    coeffs, cov = np.polyfit(x, means, 1, cov=True)
+    coeffs, cov = np.polyfit(x[finite], means[finite], 1, cov=True)
     return float(coeffs[1]), float(np.sqrt(cov[1, 1]))
 
 

@@ -123,6 +123,32 @@ def test_frechet_distance_properties():
     assert d == pytest.approx(5.0, rel=1e-6)
 
 
+def test_frechet_distance_degenerate_covariances():
+    """Near-singular covariance products overflowed scipy.sqrtm to ~1e296
+    (observed live during a TPU training eval); the eigh-based path must
+    stay finite and exact on rank-deficient inputs."""
+    rng = np.random.default_rng(0)
+    # rank-3 covariance in 20 dims, like degenerate EFP columns
+    a = rng.normal(size=(20, 3))
+    sigma = a @ a.T
+    mu = rng.normal(size=20)
+    assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-6)
+    # 1-D analytic check: d^2 = (mu1-mu2)^2 + (s1-s2)^2 for variances s^2
+    d = frechet_distance([1.0], [[4.0]], [3.0], [[9.0]])
+    assert d == pytest.approx((1 - 3) ** 2 + (2 - 3) ** 2, rel=1e-9)
+    # constant feature columns (zero variance rows/cols) stay finite
+    x = rng.normal(size=(500, 20))
+    x[:, 5] = 1.0
+    y = rng.normal(size=(500, 20))
+    y[:, 5] = 1.0
+    from mpgan_tpu.evaluation.fpd import _gaussian_moments
+
+    m1, s1 = _gaussian_moments(x)
+    m2, s2 = _gaussian_moments(y)
+    val = frechet_distance(m1, s1, m2, s2)
+    assert np.isfinite(val) and 0 <= val < 100
+
+
 def test_fpd_discriminates():
     real, _ = synthetic_jets("g", 6000, 30, seed=1)
     real2, _ = synthetic_jets("g", 6000, 30, seed=2)
