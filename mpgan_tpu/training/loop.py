@@ -136,6 +136,16 @@ class Trainer:
 
         n_batch_args = 2 if self.use_labels else 1
         self.dg_step = None
+        self._mesh = mesh
+        # device-side epoch loop (single-chip num_critic=num_gen=1 regime):
+        # lax.scan over per-epoch batch permutations with the dataset staged
+        # on device once — ONE dispatch + ONE host sync per epoch. Each
+        # per-batch dispatch over the remote tunnel costs ~4 ms H2D + a
+        # multi-output execute ack; at 54 steps/epoch that tripled epoch
+        # wall time (2.3 s -> 0.9 s measured at 30p B=256).
+        self._dg_step_fn = dg_step if (args.num_critic == 1 and args.num_gen == 1) else None
+        self._epoch_scan = None
+        self._staged = None  # (device data, device labels, n)
         if mesh is not None:
             # per-shard execution via shard_map: the fused Pallas kernels run
             # locally on every chip, gradients pmean over ICI
@@ -208,8 +218,75 @@ class Trainer:
 
     # -- one epoch (train.py:812-886) ---------------------------------------
 
+    def _build_epoch_scan(self, num_batches: int):
+        keys = self.d_loss_keys + ["G"]
+        dg = self._dg_step_fn
+        use_labels = self.use_labels
+
+        @jax.jit
+        def epoch_fn(state, data_all, labels_all, perm):
+            def body(st, idx):
+                batch = jax.numpy.take(data_all, idx, axis=0)
+                step_args = (batch,)
+                if use_labels:
+                    step_args = (batch, jax.numpy.take(labels_all, idx, axis=0))
+                st, m = dg(st, *step_args)
+                return st, jax.numpy.stack([m[k] for k in keys])
+            st, ms = jax.lax.scan(body, state, perm)
+            return st, jax.numpy.sum(ms, axis=0)
+
+        return epoch_fn
+
+    def _can_scan_epoch(self) -> bool:
+        args = self.args
+        return (
+            self._dg_step_fn is not None
+            and self._mesh is None
+            and not args.get("break_zero")
+            and not args.get("bottleneck")
+        )
+
+    def _scan_epoch(self, loader: BatchLoader) -> dict[str, float]:
+        """One jitted scan over the whole epoch: dataset staged on device
+        once, per-epoch shuffle shipped as a [num_batches, B] index array."""
+        num_batches = len(loader)
+        if self._epoch_scan is None:
+            self._epoch_scan = self._build_epoch_scan(num_batches)
+        if self._staged is None:
+            data = jax.device_put(loader.arrays[0])
+            labels = (
+                jax.device_put(loader.arrays[1])
+                if self.use_labels and len(loader.arrays) > 1
+                else None
+            )
+            self._staged = (data, labels)
+        data, labels = self._staged
+        perm = loader._rng.permutation(loader.n)[: num_batches * loader.batch_size]
+        perm = jax.numpy.asarray(
+            perm.reshape(num_batches, loader.batch_size).astype(np.int32)
+        )
+        self.state, sums = self._epoch_scan(self.state, data, labels, perm)
+        keys = self.d_loss_keys + ["G"]
+        return {k: float(v) for k, v in zip(keys, np.asarray(sums))}  # one sync
+
     def train_epoch(self, epoch: int, loader: BatchLoader) -> dict[str, float]:
         args = self.args
+        if self._can_scan_epoch():
+            epoch_loss = self._scan_epoch(loader)
+            num_batches = len(loader)
+            bad = [k for k, v in epoch_loss.items() if not np.isfinite(v)]
+            if bad:
+                logger.warning(f"non-finite epoch losses at epoch {epoch}: {bad}")
+            if args.get("debug") or logger.isEnabledFor(logging.DEBUG):
+                data, labels = self._staged
+                step_args = (data[: args.batch_size],)
+                if self.use_labels:
+                    step_args = (data[: args.batch_size], labels[: args.batch_size])
+                self._log_d_outputs(step_args)
+            for key in self.d_loss_keys:
+                self.losses[key].append(epoch_loss[key] / num_batches)
+            self.losses["G"].append(epoch_loss["G"] / num_batches)
+            return epoch_loss
         # accumulate metrics as device scalars: no host sync inside the
         # epoch, so step dispatches pipeline (critical over high-latency
         # links and for keeping the device queue full)
