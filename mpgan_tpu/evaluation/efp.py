@@ -142,7 +142,19 @@ def efps(
     specs = [_einsum_spec(g) for g in graphs]
 
     if use_jax is None:
-        use_jax = jets.shape[0] * jets.shape[1] ** 2 > 4e7
+        # numpy einsum is f64 (matches energyflow bit-for-bit protocol); the
+        # jax path is f32 (~2e-3 relative) but 5.8x faster on TPU at the
+        # in-training eval size (27.6s -> 4.8s warm at 10k x 30p), so the
+        # crossover drops when an accelerator is attached
+        threshold = 4e7
+        try:
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":
+                threshold = 2e6
+        except Exception:
+            pass
+        use_jax = jets.shape[0] * jets.shape[1] ** 2 > threshold
     if use_jax:
         import jax.numpy as xp
         from jax import jit
