@@ -51,7 +51,7 @@ def defaults() -> dict[str, Any]:
         name="test", dataset="jets", ttsplit=0.7, model="mpgan", model_D="",
         num_epochs=2000, jets="g", seed=4, batch_size=0,
         num_samples=50000, real_only=False, debug=False, debug_nans=False,
-        break_zero=False, eval_shuffle=False,
+        break_zero=False, eval_shuffle=False, epoch_scan=True,
         low_samples=False, const_ylim=False, save_zero=False, save_epochs=0,
         save_model_epochs=0, bottleneck=False, log="INFO", log_file="",
         dir_path="", datasets_path="", start_epoch=-1, load_model=True,

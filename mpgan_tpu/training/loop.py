@@ -144,8 +144,9 @@ class Trainer:
         # multi-output execute ack; at 54 steps/epoch that tripled epoch
         # wall time (2.3 s -> 0.9 s measured at 30p B=256).
         self._dg_step_fn = dg_step if (args.num_critic == 1 and args.num_gen == 1) else None
+        self._d_step_fn, self._g_step_fn = d_step, g_step  # raw (unjitted)
         self._epoch_scan = None
-        self._staged = None  # (device data, device labels, n)
+        self._staged = None  # (device data, device labels)
         if mesh is not None:
             # per-shard execution via shard_map: the fused Pallas kernels run
             # locally on every chip, gradients pmean over ICI
@@ -220,19 +221,59 @@ class Trainer:
 
     def _build_epoch_scan(self, num_batches: int):
         keys = self.d_loss_keys + ["G"]
-        dg = self._dg_step_fn
+        d_keys = self.d_loss_keys
         use_labels = self.use_labels
 
+        def batch_args(data_all, labels_all, idx):
+            batch = jax.numpy.take(data_all, idx, axis=0)
+            if use_labels:
+                return (batch, jax.numpy.take(labels_all, idx, axis=0))
+            return (batch,)
+
+        if self._dg_step_fn is not None:
+            dg = self._dg_step_fn
+
+            @jax.jit
+            def epoch_fn(state, data_all, labels_all, perm, d_do, g_do):
+                def body(st, idx):
+                    st, m = dg(st, *batch_args(data_all, labels_all, idx))
+                    return st, jax.numpy.stack([m[k] for k in keys])
+                st, ms = jax.lax.scan(body, state, perm)
+                return st, jax.numpy.sum(ms, axis=0)
+
+            return epoch_fn
+
+        # num_critic / num_gen interleave (train.py:841-878): per-batch
+        # booleans decide which step runs; lax.cond executes one branch on
+        # device, and a skipped step leaves the state (incl. rng) untouched,
+        # exactly like the host-loop fallback
+        d_fn, g_fn = self._d_step_fn, self._g_step_fn
+
         @jax.jit
-        def epoch_fn(state, data_all, labels_all, perm):
-            def body(st, idx):
-                batch = jax.numpy.take(data_all, idx, axis=0)
-                step_args = (batch,)
-                if use_labels:
-                    step_args = (batch, jax.numpy.take(labels_all, idx, axis=0))
-                st, m = dg(st, *step_args)
-                return st, jax.numpy.stack([m[k] for k in keys])
-            st, ms = jax.lax.scan(body, state, perm)
+        def epoch_fn(state, data_all, labels_all, perm, d_do, g_do):
+            def body(st, x):
+                idx, dd, gd = x
+                step_args = batch_args(data_all, labels_all, idx)
+
+                def run_d(st):
+                    st2, m = d_fn(st, *step_args)
+                    return st2, jax.numpy.stack([m[k] for k in d_keys])
+
+                st, dvec = jax.lax.cond(
+                    dd, run_d,
+                    lambda st: (st, jax.numpy.zeros(len(d_keys))), st,
+                )
+
+                def run_g(st):
+                    st2, m = g_fn(st, *step_args)
+                    return st2, m["G"]
+
+                st, gval = jax.lax.cond(
+                    gd, run_g, lambda st: (st, jax.numpy.zeros(())), st
+                )
+                return st, jax.numpy.concatenate([dvec, gval[None]])
+
+            st, ms = jax.lax.scan(body, state, (perm, d_do, g_do))
             return st, jax.numpy.sum(ms, axis=0)
 
         return epoch_fn
@@ -240,7 +281,7 @@ class Trainer:
     def _can_scan_epoch(self) -> bool:
         args = self.args
         return (
-            self._dg_step_fn is not None
+            args.get("epoch_scan", True)
             and self._mesh is None
             and not args.get("break_zero")
             and not args.get("bottleneck")
@@ -249,6 +290,7 @@ class Trainer:
     def _scan_epoch(self, loader: BatchLoader) -> dict[str, float]:
         """One jitted scan over the whole epoch: dataset staged on device
         once, per-epoch shuffle shipped as a [num_batches, B] index array."""
+        args = self.args
         num_batches = len(loader)
         if self._epoch_scan is None:
             self._epoch_scan = self._build_epoch_scan(num_batches)
@@ -265,7 +307,13 @@ class Trainer:
         perm = jax.numpy.asarray(
             perm.reshape(num_batches, loader.batch_size).astype(np.int32)
         )
-        self.state, sums = self._epoch_scan(self.state, data, labels, perm)
+        ndx = np.arange(num_batches)
+        d_do = (args.num_critic > 1) | (ndx == 0) | ((ndx - 1) % args.num_gen == 0)
+        g_do = (args.num_critic == 1) | ((ndx - 1) % args.num_critic == 0)
+        self.state, sums = self._epoch_scan(
+            self.state, data, labels, perm,
+            jax.numpy.asarray(d_do), jax.numpy.asarray(g_do),
+        )
         keys = self.d_loss_keys + ["G"]
         return {k: float(v) for k, v in zip(keys, np.asarray(sums))}  # one sync
 
@@ -284,8 +332,8 @@ class Trainer:
                     step_args = (data[: args.batch_size], labels[: args.batch_size])
                 self._log_d_outputs(step_args)
             for key in self.d_loss_keys:
-                self.losses[key].append(epoch_loss[key] / num_batches)
-            self.losses["G"].append(epoch_loss["G"] / num_batches)
+                self.losses[key].append(epoch_loss[key] / (num_batches / args.num_gen))
+            self.losses["G"].append(epoch_loss["G"] / (num_batches / args.num_critic))
             return epoch_loss
         # accumulate metrics as device scalars: no host sync inside the
         # epoch, so step dispatches pipeline (critical over high-latency

@@ -257,3 +257,27 @@ def test_eval_shuffle_option(tmp_path):
     trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
     trainer.train()
     assert len(trainer.losses["w1m"]) == 1
+
+
+def test_epoch_scan_matches_per_batch_loop(tmp_path):
+    """The single-dispatch epoch scan must reproduce the host-loop path
+    exactly (same shuffle stream, same rng threading, same interleave):
+    epoch losses agree to float tolerance for both the fused dg regime and
+    a num_critic=3 interleave."""
+    for name, extra in [
+        ("sc_dg", {}),
+        ("sc_int", dict(num_critic=3, num_gen=1)),
+    ]:
+        train_ds, valid_ds = _datasets()
+        a1 = _tiny_args(tmp_path, name=f"{name}_scan", num_epochs=2, fpd=False, **extra)
+        t1 = Trainer(a1, train_dataset=train_ds, valid_dataset=valid_ds)
+        t1.train()
+        a2 = _tiny_args(tmp_path, name=f"{name}_loop", num_epochs=2, fpd=False,
+                        epoch_scan=False, **extra)
+        t2 = Trainer(a2, train_dataset=train_ds, valid_dataset=valid_ds)
+        t2.train()
+        for key in ("G", "D"):
+            np.testing.assert_allclose(
+                t1.losses[key], t2.losses[key], rtol=2e-4, atol=1e-6,
+                err_msg=f"{name}:{key}",
+            )
