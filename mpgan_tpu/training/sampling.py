@@ -18,7 +18,6 @@ streams batches to host.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -103,7 +102,6 @@ def generate_multi_batch(
     post-generation hooks (mask_manual, PCGAN point decoding) inside the jit.
     """
 
-    @partial(jax.jit, static_argnames=())
     def _batch(key, batch_labels):
         noise, point_noise = spec.sample(key, batch_size)
         out, _ = g_apply(g_cfg, params, state, noise, batch_labels, train=False, **apply_kwargs)
@@ -111,17 +109,32 @@ def generate_multi_batch(
             out = post_fn(out, point_noise)
         return out
 
-    chunks = []
     num_batches = (num_samples + batch_size - 1) // batch_size
     keys = jax.random.split(rng, num_batches)
-    for i in range(num_batches):
-        if labels is not None:
-            sl = labels[i * batch_size : (i + 1) * batch_size]
-            if sl.shape[0] < batch_size:  # pad final batch to keep shapes static
-                pad = np.repeat(sl[-1:], batch_size - sl.shape[0], axis=0)
-                sl = np.concatenate([sl, pad], axis=0)
-            sl = jnp.asarray(sl)
-        else:
-            sl = None
-        chunks.append(np.asarray(_batch(keys[i], sl)))
-    return np.concatenate(chunks, axis=0)[:num_samples]
+
+    # all batches ride ONE lax.scan dispatch with a single host fetch at the
+    # end — a host loop with a per-batch np.asarray sync pays a full
+    # device round trip per batch (35+ ms each over a remote link)
+    if labels is not None:
+        labels = np.asarray(labels)[:num_samples]
+        pad = np.repeat(labels[-1:], num_batches * batch_size - len(labels), axis=0)
+        labels_all = jnp.asarray(
+            np.concatenate([labels, pad], axis=0).reshape(num_batches, batch_size, -1)
+        )
+
+        @jax.jit
+        def _all(keys, labels_all):
+            return jax.lax.scan(
+                lambda _, x: (0, _batch(x[0], x[1])), 0, (keys, labels_all)
+            )[1]
+
+        outs = _all(keys, labels_all)
+    else:
+
+        @jax.jit
+        def _all(keys):
+            return jax.lax.scan(lambda _, k: (0, _batch(k, None)), 0, keys)[1]
+
+        outs = _all(keys)
+    out = np.asarray(outs)
+    return out.reshape(num_batches * batch_size, *out.shape[2:])[:num_samples]
