@@ -25,7 +25,6 @@ details.
 
 from __future__ import annotations
 
-import functools
 import json
 import time
 
@@ -86,7 +85,7 @@ def bench_generator(
         ].astype(np.float32)
     )
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @jax.jit
     def run(n_iters, params, state, key, labels):
         def body(i, acc):
             noise = jax.random.normal(
@@ -94,6 +93,7 @@ def bench_generator(
             ) * 0.2
             out, _ = mp_generator_apply(g_cfg, params, state, noise, labels)
             return acc + jnp.sum(out) * 1e-9
+        # dynamic trip count: ONE compiled program serves both loop lengths
         return jax.lax.fori_loop(0, n_iters, body, 0.0)
 
     best = _differential_time(run, params, state, jax.random.PRNGKey(1), labels)
@@ -140,7 +140,7 @@ def bench_gapt(num_particles: int, batch: int) -> float:
         ].astype(np.float32)
     )
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @jax.jit
     def run(n_iters, params, state, key, labels):
         def body(i, acc):
             noise, _ = suite.noise.sample(jax.random.fold_in(key, i), batch)
@@ -213,7 +213,7 @@ def bench_train_step(
     )
     labels = jnp.asarray((counts / num_particles)[:, None].astype(np.float32))
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @jax.jit
     def run(n_iters, state, data, labels):
         def body(i, st):
             st, _ = d_step(st, data, labels)
