@@ -45,15 +45,20 @@ def _differential_time(run, *args):
     returning a scalar."""
     float(run(ITERS, *args))  # compile + warm both loop lengths
     float(run(2 * ITERS, *args))
-    best = float("inf")
+    t1s, t2s = [], []
     for _ in range(REPEATS):
         t = time.perf_counter()
         float(run(ITERS, *args))
-        t1 = time.perf_counter() - t
+        t1s.append(time.perf_counter() - t)
         t = time.perf_counter()
         float(run(2 * ITERS, *args))
-        t2 = time.perf_counter() - t
-        best = min(best, t2 - t1)
+        t2s.append(time.perf_counter() - t)
+    # pair the best of each loop length rather than min over per-trial
+    # differences: a latency spike landing in one trial's t1 would otherwise
+    # make (t2 - t1) under-measure (possibly <= 0)
+    best = min(t2s) - min(t1s)
+    if best <= 0:
+        raise RuntimeError(f"non-positive differential time {best}; rerun (link spike)")
     return best
 
 

@@ -59,13 +59,6 @@ class FeaturewiseLinearBounded:
             list(self.feature_maxes),
         )
 
-    def derive_maxes(self, data: np.ndarray) -> None:
-        """Compute per-feature |max| from data when no fixed table applies
-        (e.g. w/z jets)."""
-        self.feature_maxes = [
-            float(np.max(np.abs(data[..., i]))) for i in range(data.shape[-1])
-        ]
-
     def __call__(self, data: np.ndarray, inverse: bool = False) -> np.ndarray:
         nf = data.shape[-1]
         norms, shifts, maxes = self._expanded(nf)

@@ -219,7 +219,7 @@ class Trainer:
 
     # -- one epoch (train.py:812-886) ---------------------------------------
 
-    def _build_epoch_scan(self, num_batches: int):
+    def _build_epoch_scan(self):
         keys = self.d_loss_keys + ["G"]
         d_keys = self.d_loss_keys
         use_labels = self.use_labels
@@ -293,7 +293,7 @@ class Trainer:
         args = self.args
         num_batches = len(loader)
         if self._epoch_scan is None:
-            self._epoch_scan = self._build_epoch_scan(num_batches)
+            self._epoch_scan = self._build_epoch_scan()
         if self._staged is None:
             data = jax.device_put(loader.arrays[0])
             labels = (
@@ -512,8 +512,12 @@ class Trainer:
                 ckpt.save_train_state(self.out_dir / "state_best_epoch.npz", self.state)
 
     def _cached_real_efps(self, real_jets: np.ndarray) -> np.ndarray:
-        """EFP cache for the real side (train.py:744-757)."""
-        cache = self.out_dir / f"real_efps_{self.args.jets}.npy"
+        """EFP cache for the real side (train.py:744-757). The cache key
+        carries the eval-sampling mode: a shuffled eval selects a different
+        real subset of the same length, so reusing the first-n cache would
+        standardize FPD against jets that are not being evaluated."""
+        mode = f"_shuf{self.args.seed}" if self.args.get("eval_shuffle") else ""
+        cache = self.out_dir / f"real_efps_{self.args.jets}{mode}.npy"
         if cache.exists():
             arr = np.load(cache)
             if len(arr) == len(real_jets):

@@ -262,7 +262,9 @@ def plot_eval(losses: dict, epoch: int, save_epochs: int, name: str, losses_path
     """Evaluation metrics vs epoch in the reference's 3x3 grid
     (plotting.py:371-457): W1-P per particle feature (3 panels), W1-M, the
     FGD-infinity mean and mean+sigma panels from the FPD history, MMD,
-    coverage, and FPND."""
+    coverage, and FPND. The reference's grid has no W1-EFP panel (commented
+    out at plotting.py:393-400); when a w1efp history exists it is written
+    as a companion ``<name>_w1efp.pdf`` so the trend is not lost."""
     fig = plt.figure(figsize=(30, 24))
 
     def _x(n):
@@ -322,6 +324,20 @@ def plot_eval(losses: dict, epoch: int, save_epochs: int, name: str, losses_path
     out = str(pathlib.Path(losses_path) / f"{name}.pdf")
     fig.savefig(out, bbox_inches="tight")
     plt.close(fig)
+    if losses.get("w1efp"):
+        arr = np.asarray(losses["w1efp"], dtype=float)
+        half = arr.shape[1] // 2
+        fig2 = plt.figure(figsize=(8, 5))
+        for i in range(min(half, 5)):
+            plt.plot(_x(len(arr)), arr[:, i], label=f"EFP {i + 1}")
+        plt.legend(loc=1, prop={"size": 8})
+        plt.xlabel("Epoch")
+        plt.ylabel("Jet EFPs $W_1$")
+        plt.yscale("log")
+        fig2.savefig(
+            str(pathlib.Path(losses_path) / f"{name}_w1efp.pdf"), bbox_inches="tight"
+        )
+        plt.close(fig2)
     return out
 
 

@@ -101,3 +101,13 @@ def test_fid_and_mnist_raster(tmp_path):
     clouds = np.random.default_rng(3).uniform(-0.5, 0.5, size=(9, 50, 3)).astype(np.float32)
     plotting.mnist_cloud_image(clouds, "digits", str(tmp_path), num=9)
     assert (tmp_path / "digits.pdf").exists()
+
+
+def test_eval_grid_w1efp_companion(tmp_path):
+    losses = {
+        "w1m": [[0.01, 0.001]] * 3,
+        "w1efp": [([0.1] * 5 + [0.01] * 5)] * 3,
+    }
+    plotting.plot_eval(losses, 15, 5, "ev", str(tmp_path))
+    assert (tmp_path / "ev.pdf").exists()
+    assert (tmp_path / "ev_w1efp.pdf").exists()
