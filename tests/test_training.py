@@ -194,3 +194,33 @@ def test_generate_multi_batch():
     assert out.shape == (25, 10, 4)
     # generated mask multiplicity matches the conditioning labels
     np.testing.assert_array_equal((out[:, :, -1] > 0).sum(1), (labels[:, 0] * 10).astype(int))
+
+
+def test_generate_multi_batch_matches_per_batch_calls():
+    """The single-dispatch scanned sampler must match manual per-batch
+    generation with the same split keys and label padding. Bit-equality is
+    unattainable (jax.random.normal compiles to 1-ULP-different floats
+    inside a scan body, which can flip mask-rank ties), so the check uses a
+    maskless generator and a tight tolerance."""
+    from mpgan_tpu.models.mpgan import MaskConfig, MPGeneratorConfig
+
+    g_cfg = MPGeneratorConfig.build(
+        num_particles=10, input_node_size=8, output_node_size=3,
+        mp_iters=2, fe_layers=[12], fn_layers=[16], hidden_node_size=8,
+        mask=MaskConfig(mask_c=False),
+    )
+    params, g_state = mp_generator_init(jax.random.PRNGKey(0), g_cfg)
+    spec = NoiseSpec((10, 8), 0.2)
+    out = generate_multi_batch(
+        mp_generator_apply, g_cfg, params, g_state, spec,
+        jax.random.PRNGKey(1), 25, 8,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    chunks = []
+    for i in range(4):
+        noise, _ = spec.sample(keys[i], 8)
+        o, _ = mp_generator_apply(g_cfg, params, g_state, noise, None, train=False)
+        chunks.append(np.asarray(o))
+    expected = np.concatenate(chunks)[:25]
+    assert out.shape == expected.shape == (25, 10, 3)
+    np.testing.assert_allclose(out, expected, atol=5e-6, rtol=1e-5)
