@@ -34,6 +34,14 @@ def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
     degenerate EFP covariances; observed live during GAN training."""
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    # degenerate generators can produce non-finite features (a jet with
+    # negative-pT particles makes the EFP z-weights unbounded); scipy eigh
+    # raises ValueError on non-finite input, which must not kill a training
+    # run mid-eval — an infinite distance is the honest value
+    if not all(
+        np.isfinite(a).all() for a in (mu1, mu2, sigma1, sigma2)
+    ):
+        return float("inf")
     diff = mu1 - mu2
     s1_half = _psd_sqrt(sigma1)
     inner = s1_half @ sigma2 @ s1_half

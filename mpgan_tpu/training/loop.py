@@ -310,12 +310,16 @@ class Trainer:
         ndx = np.arange(num_batches)
         d_do = (args.num_critic > 1) | (ndx == 0) | ((ndx - 1) % args.num_gen == 0)
         g_do = (args.num_critic == 1) | ((ndx - 1) % args.num_critic == 0)
+        t0 = time.time()
         self.state, sums = self._epoch_scan(
             self.state, data, labels, perm,
             jax.numpy.asarray(d_do), jax.numpy.asarray(g_do),
         )
+        t1 = time.time()
+        out = np.asarray(sums)  # one sync
+        logger.debug(f"epoch scan: dispatch {t1 - t0:.3f}s sync {time.time() - t1:.3f}s")
         keys = self.d_loss_keys + ["G"]
-        return {k: float(v) for k, v in zip(keys, np.asarray(sums))}  # one sync
+        return {k: float(v) for k, v in zip(keys, out)}
 
     def train_epoch(self, epoch: int, loader: BatchLoader) -> dict[str, float]:
         args = self.args
@@ -472,6 +476,12 @@ class Trainer:
         if "fpd" in self.eval_keys:
             real_efps = self._cached_real_efps(real_jets)
             gen_efps = efps(gen_jets, select="d<=4")
+            if not np.isfinite(gen_efps).all():
+                # unphysical early-training jets (negative pT -> unbounded
+                # z-weights) overflow the f32 TPU path to inf; the reference
+                # protocol's f64 arithmetic keeps them huge-but-finite, so
+                # recompute that way to stay comparable (train.py:744-757)
+                gen_efps = efps(gen_jets, select="d<=4", use_jax=False)
             fpd_val, fpd_std = fpd(
                 real_jets, gen_jets, real_efps=real_efps, gen_efps=gen_efps,
                 min_samples=min(5000, n_eval // 2), max_samples=min(20000, n_eval),

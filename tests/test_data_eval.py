@@ -213,3 +213,22 @@ def test_mnist_dataset_synthetic():
     ds = MNISTGraphDataset(None, num_thresholded=75, num=3, synthetic_num_samples=50)
     assert ds.X.shape == (50, 75, 3)
     assert ds.X[..., :2].min() >= -0.5 and ds.X[..., :2].max() < 0.5
+
+
+def test_fpd_survives_nonfinite_features():
+    """A degenerate generator (negative-pT jets -> unbounded EFP z-weights)
+    can hand fpd inf/NaN features; the metric must report inf, not raise
+    (observed killing a 100-epoch TPU run at its epoch-10 eval)."""
+    rng = np.random.default_rng(0)
+    real = np.abs(rng.normal(size=(2000, 20)))
+    gen = np.abs(rng.normal(size=(2000, 20)))
+    gen[5, 3] = np.inf
+    gen[17, 0] = np.nan
+    from mpgan_tpu.evaluation.fpd import fgd_inf
+
+    val, std = fgd_inf(real, gen, min_samples=500, max_samples=2000, num_batches=5)
+    assert (np.isinf(val) and np.isinf(std)) or np.isfinite(val)
+    # direct moment-level check
+    m = np.mean(gen, axis=0)
+    s = np.cov(gen, rowvar=False)
+    assert frechet_distance(np.mean(real, axis=0), np.cov(real, rowvar=False), m, s) == float("inf")
