@@ -329,7 +329,7 @@ class Trainer:
             bad = [k for k, v in epoch_loss.items() if not np.isfinite(v)]
             if bad:
                 logger.warning(f"non-finite epoch losses at epoch {epoch}: {bad}")
-            if args.get("debug") or logger.isEnabledFor(logging.DEBUG):
+            if args.get("debug"):
                 data, labels = self._staged
                 step_args = (data[: args.batch_size],)
                 if self.use_labels:
@@ -384,7 +384,7 @@ class Trainer:
         # outputs + G samples on the last batch of every epoch). The reference
         # prints at INFO unconditionally; here it is gated behind --debug /
         # DEBUG log level so the normal epoch loop stays one-sync.
-        if args.get("debug") or logger.isEnabledFor(logging.DEBUG):
+        if args.get("debug"):
             self._log_d_outputs(step_args)
         for key in self.d_loss_keys:
             self.losses[key].append(epoch_loss[key] / (num_batches / args.num_gen))
