@@ -82,13 +82,15 @@ def fgd_inf(
             mu2, s2 = _gaussian_moments(gen_features[gi])
             vals[i, j] = frechet_distance(mu1, s1, mu2, s2)
 
+    if not np.isfinite(vals).all():
+        # contaminated features must score as inf, loudly: small batches can
+        # draw clean subsamples, and fitting only the finite points would
+        # report a finite FGD for a generator emitting inf/NaN jets
+        return float("inf"), float("inf")
     means = vals.mean(axis=1)
     x = 1.0 / batches
-    finite = np.isfinite(means)
-    if finite.sum() < 3:
-        return float("inf"), float("inf")
     # linear fit y = a + b x; intercept a is FGD_inf
-    coeffs, cov = np.polyfit(x[finite], means[finite], 1, cov=True)
+    coeffs, cov = np.polyfit(x, means, 1, cov=True)
     return float(coeffs[1]), float(np.sqrt(cov[1, 1]))
 
 

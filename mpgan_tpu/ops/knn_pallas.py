@@ -260,10 +260,16 @@ def _block_receivers(n: int, k: int) -> int:
     """Receivers per program: must divide n (padding would corrupt
     accumulated grads) with 8-aligned row blocks; fall back to the whole
     jet (full-array blocks are always legal).
-    ``MPGAN_TPU_KNN_ROW_TARGET`` overrides the row target for sweeps."""
+    ``MPGAN_TPU_KNN_ROW_TARGET`` overrides the row target for sweeps (read
+    at trace time — compiled steps cache the first value per shape, so
+    sweep in separate processes)."""
     import os
 
-    limit = max(1, int(os.environ.get("MPGAN_TPU_KNN_ROW_TARGET", "4096")) // k)
+    try:
+        target = int(os.environ.get("MPGAN_TPU_KNN_ROW_TARGET", "4096"))
+    except ValueError:
+        target = 4096
+    limit = max(1, target // k)
     for tr in range(min(n, limit), 0, -1):
         if n % tr == 0 and (tr * k) % 8 == 0:
             return tr

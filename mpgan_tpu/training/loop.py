@@ -382,8 +382,9 @@ class Trainer:
             logger.warning(f"non-finite epoch losses at epoch {epoch}: {bad}")
         # last-batch D-output debug (train.py:426,444,447 logs D real/fake
         # outputs + G samples on the last batch of every epoch). The reference
-        # prints at INFO unconditionally; here it is gated behind --debug /
-        # DEBUG log level so the normal epoch loop stays one-sync.
+        # prints at INFO unconditionally; here it runs only under --debug so
+        # the normal epoch loop stays one-sync (and a DEBUG log level alone
+        # does not add per-epoch dispatches).
         if args.get("debug"):
             self._log_d_outputs(step_args)
         for key in self.d_loss_keys:
@@ -476,12 +477,15 @@ class Trainer:
         if "fpd" in self.eval_keys:
             real_efps = self._cached_real_efps(real_jets)
             gen_efps = efps(gen_jets, select="d<=4")
-            if not np.isfinite(gen_efps).all():
+            bad = ~np.isfinite(gen_efps).all(axis=1)
+            if bad.any():
                 # unphysical early-training jets (negative pT -> unbounded
                 # z-weights) overflow the f32 TPU path to inf; the reference
                 # protocol's f64 arithmetic keeps them huge-but-finite, so
-                # recompute that way to stay comparable (train.py:744-757)
-                gen_efps = efps(gen_jets, select="d<=4", use_jax=False)
+                # recompute those jets that way to stay comparable
+                # (train.py:744-757) — only the affected rows, the f64 CPU
+                # path costs minutes at full eval size
+                gen_efps[bad] = efps(gen_jets[bad], select="d<=4", use_jax=False)
             fpd_val, fpd_std = fpd(
                 real_jets, gen_jets, real_efps=real_efps, gen_efps=gen_efps,
                 min_samples=min(5000, n_eval // 2), max_samples=min(20000, n_eval),
