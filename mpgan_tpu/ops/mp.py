@@ -260,12 +260,18 @@ def _mp_layer_apply_fused(
     train: bool,
     rng: jax.Array | None,
     update_sn: bool,
-    block_receivers: int = int(os.environ.get("MPGAN_TPU_BLOCK_RECEIVERS", "32")),
+    block_receivers: int | None = None,
 ) -> tuple[jax.Array, dict]:
     """Fused edge path: decompose fe layer 1 into receiver/sender embeddings
     (+ per-jet conditioning folded into the sender term) and run the
     VMEM-resident Pallas kernel for the N^2 MLP + masked aggregation."""
     from .mp_pallas import edge_aggregate
+
+    if block_receivers is None:
+        # read at trace time (not import time) so sweep drivers that set the
+        # env var after importing this module are honored — same contract as
+        # knn_pallas._pick_jb / mp_pallas._block_receivers
+        block_receivers = int(os.environ.get("MPGAN_TPU_BLOCK_RECEIVERS", "32"))
 
     weights, fe_state = _fe_weights_sn(cfg, params, state, update_sn)
     f = cfg.input_node_size

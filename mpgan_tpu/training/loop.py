@@ -233,15 +233,14 @@ class Trainer:
         if self._dg_step_fn is not None:
             dg = self._dg_step_fn
 
-            @jax.jit
-            def epoch_fn(state, data_all, labels_all, perm, d_do, g_do):
+            def epoch_body(state, data_all, labels_all, perm, d_do, g_do):
                 def body(st, idx):
                     st, m = dg(st, *batch_args(data_all, labels_all, idx))
                     return st, jax.numpy.stack([m[k] for k in keys])
                 st, ms = jax.lax.scan(body, state, perm)
                 return st, jax.numpy.sum(ms, axis=0)
 
-            return epoch_fn
+            return self._wrap_epoch_body(epoch_body)
 
         # num_critic / num_gen interleave (train.py:841-878): per-batch
         # booleans decide which step runs; lax.cond executes one branch on
@@ -249,8 +248,7 @@ class Trainer:
         # exactly like the host-loop fallback
         d_fn, g_fn = self._d_step_fn, self._g_step_fn
 
-        @jax.jit
-        def epoch_fn(state, data_all, labels_all, perm, d_do, g_do):
+        def epoch_body(state, data_all, labels_all, perm, d_do, g_do):
             def body(st, x):
                 idx, dd, gd = x
                 step_args = batch_args(data_all, labels_all, idx)
@@ -276,13 +274,44 @@ class Trainer:
             st, ms = jax.lax.scan(body, state, (perm, d_do, g_do))
             return st, jax.numpy.sum(ms, axis=0)
 
-        return epoch_fn
+        return self._wrap_epoch_body(epoch_body)
 
-    def _can_scan_epoch(self) -> bool:
+    def _wrap_epoch_body(self, epoch_body):
+        """jit the epoch scan — under ``shard_map`` over the data mesh when one
+        is set, so multi-chip training keeps the one-dispatch-per-epoch loop.
+
+        Sharding layout: train state and the staged dataset are REPLICATED
+        (P()); the per-epoch ``[num_batches, B]`` batch-index array is sharded
+        on its batch axis (P(None, "data")), so each chip gathers its own
+        contiguous ``B/n_dev`` rows of every global batch from its replica of
+        the dataset — exactly the rows ``NamedSharding(P("data"))`` would hand
+        it in the per-batch mesh loop, hence loss-exact equivalence with that
+        path. The inner steps were built with ``pmean_axis="data"`` so grads/
+        metrics all-reduce over ICI inside the scan. Replicating the staged
+        dataset costs HBM (JetNet150 full set is ~120 MB/chip) but keeps every
+        index gather local — sharding the dataset instead would turn each
+        batch gather into an all-to-all."""
+        from jax.sharding import PartitionSpec as P
+
+        if self._mesh is None:
+            return jax.jit(epoch_body)
+        return jax.jit(
+            jax.shard_map(
+                epoch_body,
+                mesh=self._mesh,
+                in_specs=(P(), P(), P(), P(None, "data"), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+
+    def _can_scan_epoch(self, loader: BatchLoader) -> bool:
         args = self.args
+        if self._mesh is not None and loader.batch_size % self._mesh.size != 0:
+            return False  # shard_map needs the batch axis divisible by the mesh
         return (
             args.get("epoch_scan", True)
-            and self._mesh is None
+            and loader.drop_remainder  # ragged final batch can't ride the scan
             and not args.get("break_zero")
             and not args.get("bottleneck")
         )
@@ -295,18 +324,22 @@ class Trainer:
         if self._epoch_scan is None:
             self._epoch_scan = self._build_epoch_scan()
         if self._staged is None:
-            data = jax.device_put(loader.arrays[0])
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self._mesh, P())
+                put = lambda a: jax.device_put(a, rep)  # noqa: E731
+            else:
+                put = jax.device_put
+            data = put(loader.arrays[0])
             labels = (
-                jax.device_put(loader.arrays[1])
+                put(loader.arrays[1])
                 if self.use_labels and len(loader.arrays) > 1
                 else None
             )
             self._staged = (data, labels)
         data, labels = self._staged
-        perm = loader._rng.permutation(loader.n)[: num_batches * loader.batch_size]
-        perm = jax.numpy.asarray(
-            perm.reshape(num_batches, loader.batch_size).astype(np.int32)
-        )
+        perm = jax.numpy.asarray(loader.epoch_batch_indices())
         ndx = np.arange(num_batches)
         d_do = (args.num_critic > 1) | (ndx == 0) | ((ndx - 1) % args.num_gen == 0)
         g_do = (args.num_critic == 1) | ((ndx - 1) % args.num_critic == 0)
@@ -323,7 +356,7 @@ class Trainer:
 
     def train_epoch(self, epoch: int, loader: BatchLoader) -> dict[str, float]:
         args = self.args
-        if self._can_scan_epoch():
+        if self._can_scan_epoch(loader):
             epoch_loss = self._scan_epoch(loader)
             num_batches = len(loader)
             bad = [k for k, v in epoch_loss.items() if not np.isfinite(v)]
@@ -447,7 +480,7 @@ class Trainer:
             self.suite.g_apply, self.suite.g_cfg,
             self.state.g_params, self.state.g_state,
             self.suite.noise, jax.random.PRNGKey(epoch), n_eval, args.batch_size,
-            labels=labels, post_fn=post_fn,
+            labels=labels, post_fn=post_fn, mesh=self._mesh,
         )
         gen_jets, gen_mask = _corrected(
             ds.particle_normalisation(gen_norm, inverse=True),

@@ -95,15 +95,33 @@ def generate_multi_batch(
     batch_size: int,
     labels: np.ndarray | None = None,
     post_fn: Callable[[jax.Array, jax.Array | None], jax.Array] | None = None,
+    mesh=None,
     **apply_kwargs: Any,
 ) -> np.ndarray:
     """Batched generation (train.py:226-282): fixed-size jitted batches, the
     final partial batch over-generates and is truncated. ``post_fn`` applies
     post-generation hooks (mask_manual, PCGAN point decoding) inside the jit.
+
+    With ``mesh`` set the scan runs under ``shard_map`` over the ``data``
+    axis: each chip generates its contiguous ``batch_size / n_dev`` rows of
+    every batch (params/state replicated, outputs sharded on the batch axis),
+    so eval-time 50k-jet generation uses the whole pod instead of one chip
+    (the reference's gen path is single-GPU, gen.py:113-123). Every chip
+    draws the full per-batch noise and slices its own rows — noise creation
+    is negligible next to the generator forward, and it keeps the sharded
+    output bit-identical to the single-device path.
     """
+    if mesh is not None and batch_size % mesh.size != 0:
+        mesh = None  # batch not divisible across chips: single-device fallback
 
     def _batch(key, batch_labels):
         noise, point_noise = spec.sample(key, batch_size)
+        if mesh is not None:
+            shard = batch_size // mesh.size
+            start = jax.lax.axis_index("data") * shard
+            noise = jax.lax.dynamic_slice_in_dim(noise, start, shard, axis=0)
+            if point_noise is not None:
+                point_noise = jax.lax.dynamic_slice_in_dim(point_noise, start, shard, axis=0)
         out, _ = g_apply(g_cfg, params, state, noise, batch_labels, train=False, **apply_kwargs)
         if post_fn is not None:
             out = post_fn(out, point_noise)
@@ -112,29 +130,42 @@ def generate_multi_batch(
     num_batches = (num_samples + batch_size - 1) // batch_size
     keys = jax.random.split(rng, num_batches)
 
+    def _scan_all(keys, labels_all):
+        if labels_all is not None:
+            return jax.lax.scan(
+                lambda _, x: (0, _batch(x[0], x[1])), 0, (keys, labels_all)
+            )[1]
+        return jax.lax.scan(lambda _, k: (0, _batch(k, None)), 0, keys)[1]
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        # keys replicated; labels + outputs sharded on the per-batch axis
+        _all = jax.jit(
+            jax.shard_map(
+                _scan_all, mesh=mesh,
+                in_specs=(P(), P(None, "data")), out_specs=P(None, "data"),
+                check_vma=False,
+            )
+        )
+    else:
+        _all = jax.jit(_scan_all)
+
     # all batches ride ONE lax.scan dispatch with a single host fetch at the
     # end — a host loop with a per-batch np.asarray sync pays a full
     # device round trip per batch (35+ ms each over a remote link)
     if labels is not None:
         labels = np.asarray(labels)[:num_samples]
         pad = np.repeat(labels[-1:], num_batches * batch_size - len(labels), axis=0)
+        # preserve the labels' own rank: a 1-D label array stays [nb, B], not
+        # [nb, B, 1] (the per-batch host path passed g_apply [B] slices)
         labels_all = jnp.asarray(
-            np.concatenate([labels, pad], axis=0).reshape(num_batches, batch_size, -1)
+            np.concatenate([labels, pad], axis=0).reshape(
+                num_batches, batch_size, *labels.shape[1:]
+            )
         )
-
-        @jax.jit
-        def _all(keys, labels_all):
-            return jax.lax.scan(
-                lambda _, x: (0, _batch(x[0], x[1])), 0, (keys, labels_all)
-            )[1]
-
         outs = _all(keys, labels_all)
     else:
-
-        @jax.jit
-        def _all(keys):
-            return jax.lax.scan(lambda _, k: (0, _batch(k, None)), 0, keys)[1]
-
-        outs = _all(keys)
+        outs = _all(keys, None)
     out = np.asarray(outs)
     return out.reshape(num_batches * batch_size, *out.shape[2:])[:num_samples]

@@ -151,15 +151,30 @@ def plot_part_feats_jet_mass(
     return out
 
 
-# EFP histogram ranges + which EFPs get plotted (plotting.py:200-212). The
-# indices refer to columns of the evaluation EFP array; clamped to however
-# many columns the caller computed (20 primes, or 35 with composites).
+# Which EFP columns get plotted (plotting.py:200-212), clamped to however
+# many columns the caller computed (20 primes, or 35 with composites). The
+# reference's fixed bin-range tables were tuned for energyflow's column
+# ordering; this repo's efps() orders columns by (degree, canonical edge
+# list) — different physical EFPs land at these indices — so bin ranges are
+# derived from the real-side quantiles instead (ADVICE r2), with the
+# reference tables kept only as a fallback for degenerate real data.
 _EFP_BINRANGES = {
     "g": [0.2, 0.06, 0.04, 0.003, 0.003, 0.0015],
     "q": [0.2, 0.06, 0.04, 0.003, 0.003, 0.0015],
     "default": [0.22, 0.075, 0.05, 0.008, 0.01, 0.004],
 }
 _EFP_INDICES = [1, 2, 5, 8, 13, 18]
+
+
+def _efp_binrange(real_col: np.ndarray, fallback: float) -> float:
+    """Upper histogram edge for one EFP column: the real distribution's
+    99.5th percentile (with 10% headroom), so bins track whatever physical
+    EFP lives in this column."""
+    vals = real_col[np.isfinite(real_col)]
+    if len(vals) == 0:
+        return fallback
+    hi = float(np.quantile(vals, 0.995)) * 1.1
+    return hi if hi > 0 else fallback
 
 
 def plot_efps(jet_type, real_efps, gen_efps, name, figs_path) -> str:
@@ -170,7 +185,7 @@ def plot_efps(jet_type, real_efps, gen_efps, name, figs_path) -> str:
     indices = [i if i < ncols else i % ncols for i in _EFP_INDICES]
     fig, axes = plt.subplots(2, 3, figsize=(20, 12))
     for i, ax in enumerate(np.ravel(axes)):
-        bins = np.linspace(0, binranges[i], 101)
+        bins = np.linspace(0, _efp_binrange(real_efps[:, indices[i]], binranges[i]), 101)
         ax.hist(real_efps[:, indices[i]], bins, histtype="step", label="Real", color="red")
         ax.hist(gen_efps[:, indices[i]], bins, histtype="step", label="Generated", color="blue")
         ax.ticklabel_format(axis="y", scilimits=(0, 0), useMathText=True)
@@ -219,7 +234,7 @@ def plot_jet_feats(
     for i in range(5):
         ax = flat[i + 1]
         idx = i % ncols
-        bins = np.linspace(0, binranges[i], 101)
+        bins = np.linspace(0, _efp_binrange(real_efps[:, idx], binranges[i]), 101)
         ax.hist(real_efps[:, idx], bins, histtype="step", label="Real", color="red")
         ax.hist(gen_efps[:, idx], bins, histtype="step", label="Generated", color="blue")
         ax.ticklabel_format(axis="y", scilimits=(0, 0), useMathText=True)
@@ -267,21 +282,28 @@ def plot_eval(losses: dict, epoch: int, save_epochs: int, name: str, losses_path
     as a companion ``<name>_w1efp.pdf`` so the trend is not lost."""
     fig = plt.figure(figsize=(30, 24))
 
-    def _x(n):
-        return np.arange(0, epoch + 1, save_epochs)[-n:]
+    def _x(vals):
+        # clamp BOTH sides to the common length: a resumed run whose loaded
+        # history disagrees with the derived axis (e.g. save_zero toggled
+        # between runs) must plot the overlapping tail, not raise and lose
+        # the figure (ADVICE r2; the pre-r2 code clamped both sides too)
+        x = np.arange(0, epoch + 1, save_epochs)
+        vals = np.asarray(vals)
+        m = min(len(x), len(vals))
+        return x[-m:], vals[-m:]
 
     if losses.get("w1p"):
         w1p = np.asarray(losses["w1p"], dtype=float)
         for i in range(3):
             ax = fig.add_subplot(3, 3, i + 1)
-            ax.plot(_x(len(w1p)), w1p[:, i])
+            ax.plot(*_x(w1p[:, i]))
             ax.set_xlabel("Epoch")
             ax.set_ylabel(f"Particle {_FEATURE_LABELS[i]} $W_1$")
             ax.set_yscale("log")
     if losses.get("w1m"):
         w1m = np.asarray(losses["w1m"], dtype=float)
         ax = fig.add_subplot(3, 3, 4)
-        ax.plot(_x(len(w1m)), w1m[:, 0])
+        ax.plot(*_x(w1m[:, 0]))
         ax.set_xlabel("Epoch")
         ax.set_ylabel("Jet Relative Mass $W_1$")
         ax.set_yscale("log")
@@ -291,13 +313,13 @@ def plot_eval(losses: dict, epoch: int, save_epochs: int, name: str, losses_path
         arr = np.asarray(losses["fpd"], dtype=float)
         means, stds = arr[:, 0], arr[:, 1]
         ax = fig.add_subplot(3, 3, 5)
-        ax.plot(_x(len(arr)), means)
+        ax.plot(*_x(means))
         ax.set_xlabel("Epoch")
         ax.set_ylabel(r"$\overline{\mathrm{FGD}}_{\infty}$")
         ax.set_yscale("log")
         ax.set_ylim(top=10)
         ax = fig.add_subplot(3, 3, 6)
-        ax.plot(_x(len(arr)), means + stds)
+        ax.plot(*_x(means + stds))
         ax.set_xlabel("Epoch")
         ax.set_ylabel(r"$\overline{\mathrm{FGD}}_{\infty}^{+\sigma}$")
         ax.set_yscale("log")
@@ -308,7 +330,7 @@ def plot_eval(losses: dict, epoch: int, save_epochs: int, name: str, losses_path
             [(1, "MMD", True), (0, "Coverage", False)]
         ):
             ax = fig.add_subplot(3, 3, 7 + i)
-            ax.plot(_x(len(arr)), arr[:, col])
+            ax.plot(*_x(arr[:, col]))
             ax.set_xlabel("Epoch")
             ax.set_ylabel(label)
             if logscale:
@@ -316,7 +338,7 @@ def plot_eval(losses: dict, epoch: int, save_epochs: int, name: str, losses_path
     if losses.get("fpnd"):
         vals = np.asarray(losses["fpnd"], dtype=float)
         ax = fig.add_subplot(3, 3, 9)
-        ax.plot(_x(len(vals)), vals)
+        ax.plot(*_x(vals))
         ax.set_xlabel("Epoch")
         ax.set_ylabel("FPND")
         ax.set_yscale("log")
@@ -329,7 +351,7 @@ def plot_eval(losses: dict, epoch: int, save_epochs: int, name: str, losses_path
         half = arr.shape[1] // 2
         fig2 = plt.figure(figsize=(8, 5))
         for i in range(min(half, 5)):
-            plt.plot(_x(len(arr)), arr[:, i], label=f"EFP {i + 1}")
+            plt.plot(*_x(arr[:, i]), label=f"EFP {i + 1}")
         plt.legend(loc=1, prop={"size": 8})
         plt.xlabel("Epoch")
         plt.ylabel("Jet EFPs $W_1$")

