@@ -32,6 +32,89 @@ from jax.experimental.pallas import tpu as pltpu
 from .mp_pallas import _dleaky, _dropmul, _interpret, _leaky, _split_mlp_chain
 
 
+def _select_kernel(k: int, self_loops: bool, *refs):
+    """k-nearest-neighbour selection for one jet: squared distances via one
+    MXU matmul (norm-augmented operands, no transposes), then ``k``
+    min-extraction passes on the VMEM-resident ``[N, N]`` matrix.
+
+    Replaces ``lax.approx_max_k`` on the [B, N, N] HBM matrix (measured
+    1.49 ms per layer at B=512, N=150, k=21 — scripts/knn_ablation.py):
+    the distance matrix never leaves VMEM. Ties break by first occurrence,
+    like the reference's stable ascending ``torch.sort``
+    (mpgan/model.py:347-359); the selected k-smallest SET is exact. All ops
+    are 2-D — Mosaic rejects the batched 3-D formulation
+    (``limits[i] <= dim(i)`` check failure on 3-D lane reductions).
+    """
+    x1_ref, x2_ref, out_ref = refs  # [1,N,C], [1,N,C], [1,N,k]
+    n = x1_ref.shape[1]
+    x1 = x1_ref[0].astype(jnp.float32)  # receivers (unscaled)
+    x2 = x2_ref[0].astype(jnp.float32)  # senders (mask-pushed, model.py:332-334)
+    # d2[i, j] = |x1_i|^2 + |x2_j|^2 - 2 x1_i . x2_j, computed as
+    # [-2*x1 | 1] @ [x2 | |x2|^2]^T + |x1|^2 so the norms ride the same
+    # contraction (lane-major operands, no vector transposes)
+    sq1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)  # [N,1]
+    sq2 = jnp.sum(x2 * x2, axis=-1, keepdims=True)
+    a = jnp.concatenate([-2.0 * x1, jnp.ones_like(sq1)], axis=-1)
+    bb = jnp.concatenate([x2, sq2], axis=-1)
+    d = (
+        jax.lax.dot_general(
+            a, bb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            # one-pass MXU truncates operands to bf16 — not enough to rank
+            # close neighbours (7% of rows flipped vs the exact search);
+            # the 3-pass f32 product is still ~free at [N, C+1] x [C+1, N]
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + sq1
+    )  # [N, N]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    # index-in-mantissa keys: clear the low 8 mantissa bits of d^2 (>= 0, so
+    # int32 ordering == float ordering) and pack the candidate index there.
+    # Each extraction pass is then ONE min-reduce + compare + where — the
+    # min is already unique per row (no first-occurrence pass), ties resolve
+    # to the lowest index like the reference's stable sort. Coarsens the
+    # comparison by ~2^-15 relative, far below any physical neighbour gap.
+    bits = max(8, (n - 1).bit_length())  # fits any N up to 2^bits
+    keyed = (
+        jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
+        & jnp.int32(~((1 << bits) - 1))
+    ) | cols
+    imax = jnp.int32(0x7FFFFFFF)
+    # self_loops=False drops the FIRST sorted column, exactly like the
+    # reference's sort-and-slice (mpgan/model.py:347-359) — NOT a diagonal
+    # exclusion: for a masked receiver the mask-pushed self is far away, so
+    # the dropped column is its true nearest neighbour, and parity demands
+    # reproducing that
+    start = 0 if self_loops else 1
+    idx_cols = []
+    for s in range(k + start):
+        m = jnp.min(keyed, axis=-1, keepdims=True)
+        if s >= start:
+            idx_cols.append(m & jnp.int32((1 << bits) - 1))
+        keyed = jnp.where(keyed == m, imax, keyed)
+    out_ref[0] = jnp.concatenate(idx_cols, axis=-1).astype(out_ref.dtype)
+
+
+def knn_select(x1: jax.Array, x2: jax.Array, k: int, self_loops: bool = True) -> jax.Array:
+    """Indices of the ``k`` nearest senders ``x2 [B,N,C]`` for every
+    receiver ``x1 [B,N,C]`` -> ``[B, N, k]`` int32 (ascending-distance
+    order, first-occurrence ties). Selection is not differentiated —
+    matching the reference, where sort indices are detached (SURVEY §7)."""
+    b_sz, n, c = x1.shape
+    kernel = functools.partial(_select_kernel, k, self_loops)
+    return pl.pallas_call(
+        kernel,
+        grid=(b_sz,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_sz, n, k), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x1, x2)
+
+
 def _row_offset(tr: int, k: int):
     """Global pair-row offset (jet-major, receiver-major, neighbour-minor) —
     blocking-independent so fwd/bwd replay identical dropout masks."""

@@ -321,15 +321,37 @@ def _mp_layer_apply_fused_knn(
     rng: jax.Array | None,
     update_sn: bool,
 ) -> tuple[jax.Array, dict]:
-    """Fused knn path: XLA finds the neighbours (pairwise dists +
-    ``lax.top_k``); the kernel gathers them via an in-VMEM one-hot matmul
-    and fuses the full edge-MLP chain + masked k-aggregation (7.5x less
-    matmul work than dense at N=150, k=20, and no HBM gather)."""
-    from .knn_pallas import knn_edge_aggregate
+    """Fused knn path: the Pallas select kernel finds the neighbours
+    (in-VMEM matmul distances + k min-extractions — replaces the round-2
+    ``lax.approx_max_k`` over an HBM [B,N,N] matrix, measured 1.49 ms ->
+    in-kernel at B=512/N=150, scripts/knn_ablation.py); the gather kernel
+    then pulls them via an in-VMEM one-hot matmul and fuses the full
+    edge-MLP chain + masked k-aggregation (7.5x less matmul work than dense
+    at N=150, k=20, and no HBM gather). ``MPGAN_TPU_KNN_SELECT=0`` falls
+    back to the XLA search for ablations."""
+    from .knn_pallas import knn_edge_aggregate, knn_select
 
     weights, fe_state = _fe_weights_sn(cfg, params, state, update_sn)
-    idx, knn_dists = _knn_search(cfg, x, mask)
-    dists = knn_dists[..., 0] if cfg.pos_diffs else None
+    if os.environ.get("MPGAN_TPU_KNN_SELECT", "1") != "0":
+        sel_cols = slice(None) if (cfg.all_ef or not cfg.pos_diffs) else slice(0, cfg.num_coords)
+        x_far = ((1 - 1e4) * mask + 1e4) * x if mask is not None else x
+        idx = knn_select(
+            x[..., sel_cols], x_far[..., sel_cols], cfg.num_knn, cfg.self_loops
+        )
+        dists = None
+        if cfg.pos_diffs:
+            # exact reference dist values for the selected edges only
+            # (mpgan/model.py:347-359): gather then norm(x2 - x1 + 1e-12)
+            b, n, _ = x.shape
+            flat = idx.reshape(b, n * cfg.num_knn)
+            x2g = jnp.take_along_axis(
+                x_far[..., sel_cols], flat[..., None], axis=1
+            ).reshape(b, n, cfg.num_knn, -1)
+            diffs = x2g - x[..., sel_cols][:, :, None, :]
+            dists = jnp.linalg.norm(diffs + 1e-12, axis=-1)
+    else:
+        idx, knn_dists = _knn_search(cfg, x, mask)
+        dists = knn_dists[..., 0] if cfg.pos_diffs else None
 
     cond = None
     if cfg.clabels or cfg.mask_fne_np:

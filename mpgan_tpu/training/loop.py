@@ -111,6 +111,9 @@ class Trainer:
                 translate_ratio=args.translate_ratio, scale_sd=args.scale_sd,
             ),
             aug_prob=args.aug_prob,
+            # --compute-dtype bfloat16: opt-in mixed-precision training
+            # (f32 master weights, bf16 applies — see StepConfig.bf16)
+            bf16=args.get("compute_dtype", "float32") == "bfloat16",
         )
         if mesh is None and args.get("mesh_shape"):
             mesh = make_mesh(int(args.mesh_shape))  # CLI passes a string

@@ -55,6 +55,7 @@ class MNISTTrainer(Trainer):
             self.suite.g_apply, self.suite.g_cfg,
             self.state.g_params, self.state.g_state,
             self.suite.noise, jax.random.PRNGKey(epoch), n_eval, args.batch_size,
+            mesh=self._mesh,
         )
 
         if self.resources_path is not None:

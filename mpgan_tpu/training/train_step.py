@@ -54,6 +54,22 @@ class StepConfig:
     label_noise: float = 0.0
     augment: AugmentConfig | None = None
     aug_prob: float = 1.0
+    # bf16 mixed-precision training (opt-in, fresh trainings only): f32
+    # master params/opt-state, with params/state/data/noise cast to bf16
+    # around the G/D applies — matmuls hit the MXU in one bf16 pass and the
+    # activation traffic (the HBM-bandwidth bottleneck at N=150) halves.
+    # Loss math and optimizer updates stay f32. Imported-weight *evaluation*
+    # keeps its f32 parity contract — this flag touches training only.
+    bf16: bool = False
+
+
+def _cast_floats(tree: Any, dtype) -> Any:
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jax.numpy.issubdtype(x.dtype, jax.numpy.floating)
+        else x,
+        tree,
+    )
 
 
 def init_train_state(
@@ -111,6 +127,28 @@ def make_train_steps(
     in the axis index.
     """
     aug_cfg = step_cfg.augment if (step_cfg.augment and step_cfg.augment.any) else None
+
+    if step_cfg.bf16:
+        # mixed precision: cast params/state/inputs to bf16 around each
+        # apply; outputs and returned model state come back f32 so the loss
+        # math, optimizer updates and the TrainState pytree stay f32 master.
+        # The cast is differentiable, so grads land on the f32 params.
+        bf16, f32 = jax.numpy.bfloat16, jax.numpy.float32
+        _g_apply_raw, _d_apply_raw = g_apply, d_apply
+
+        def g_apply(cfg, params, state, noise, labels, **kw):  # noqa: F811
+            out, new_state = _g_apply_raw(
+                cfg, _cast_floats(params, bf16), _cast_floats(state, bf16),
+                _cast_floats(noise, bf16), labels, **kw
+            )
+            return out.astype(f32), _cast_floats(new_state, f32)
+
+        def d_apply(cfg, params, state, data, labels, **kw):  # noqa: F811
+            out, new_state = _d_apply_raw(
+                cfg, _cast_floats(params, bf16), _cast_floats(state, bf16),
+                _cast_floats(data, bf16), labels, **kw
+            )
+            return out.astype(f32), _cast_floats(new_state, f32)
 
     def _maybe_aug(rng, x):
         if aug_cfg is None:

@@ -114,3 +114,63 @@ def test_fused_knn_dropout_exact_grad_replay():
     g = jax.grad(f)(x)
     g_ref = jax.grad(ref_f)(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_knn_select_matches_xla_search():
+    """The Pallas selection kernel picks the exact k-smallest sender set the
+    XLA search (approx_max_k at recall 1.0) picks, for self-loop and
+    no-self-loop variants, masked and unmasked."""
+    from mpgan_tpu.ops.knn_pallas import knn_select
+    from mpgan_tpu.ops.mp import MPLayerConfig, _knn_search
+
+    for self_loops in (True, False):
+        for masked in (True, False):
+            cfg = MPLayerConfig.build(
+                8, [24], [32], 8, fully_connected=False, num_knn=6,
+                all_ef=True, self_loops=self_loops,
+            )
+            x, mask = _data(b=3, n=20, seed=4)
+            m = mask if masked else None
+            idx_ref, _ = _knn_search(cfg, x, m)
+            x_far = ((1 - 1e4) * m + 1e4) * x if m is not None else x
+            idx_new = knn_select(x, x_far, 6, self_loops)
+            # compare as SETS per receiver (tie order may differ). The
+            # kernel's index-in-mantissa keys coarsen comparisons by ~2^-15
+            # relative; among mask-pushed senders (distances ~1e4) that
+            # window spans real gaps, so WHICH masked sender fills a slot
+            # may differ — model-irrelevant, their contributions are zeroed
+            # by the gathered sender mask (verified by
+            # test_fused_knn_matches_jnp). Unmasked selections must agree.
+            a = np.sort(np.asarray(idx_new), axis=-1)
+            bset = np.sort(np.asarray(idx_ref), axis=-1)
+            diff = a != bset
+            # any divergence must be a near-tie inside the kernel's
+            # documented 2^-15 relative comparison coarsening (the
+            # index-in-mantissa key) — e.g. two mask-pushed senders, or two
+            # real senders at physically indistinguishable distances
+            xn = np.asarray(x)
+            xf = np.asarray(x_far)
+            for bi, ri, si in zip(*np.nonzero(diff)):
+                j1, j2 = a[bi, ri, si], bset[bi, ri, si]
+                d1 = np.sum((xf[bi, j1] - xn[bi, ri]) ** 2)
+                d2 = np.sum((xf[bi, j2] - xn[bi, ri]) ** 2)
+                rel = abs(d1 - d2) / max(d1, d2)
+                assert rel < 2.0 ** -14, (
+                    f"non-tie selection diverged: self_loops={self_loops} "
+                    f"masked={masked} b={bi} recv={ri}: {j1} vs {j2} rel={rel}"
+                )
+
+
+def test_knn_select_ascending_distance_order():
+    """Within a row, indices come out in ascending-distance order (the
+    reference's sort order, relevant when dists ride as edge features)."""
+    from mpgan_tpu.ops.knn_pallas import knn_select
+
+    x, _ = _data(b=2, n=16, seed=7)
+    idx = np.asarray(knn_select(x, x, 5, True))
+    xn = np.asarray(x)
+    for b in range(2):
+        d = np.linalg.norm(xn[b][:, None, :] - xn[b][None, :, :], axis=-1)
+        for i in range(16):
+            dd = d[i, idx[b, i]]
+            assert np.all(np.diff(dd) >= -1e-6), (b, i, dd)

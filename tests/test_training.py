@@ -267,3 +267,47 @@ def test_generate_multi_batch_1d_labels_rank_preserved():
     )
     assert out.shape == (20, 10, 3)
     assert all(s == (8,) for s in seen_shapes)
+
+
+def test_bf16_train_step_keeps_f32_master_and_tracks_f32_dynamics():
+    """--compute-dtype bfloat16 (StepConfig.bf16): applies run in bf16 but
+    the TrainState stays f32 master (params, opt state, model state), and a
+    few steps track the f32 run to bf16 resolution (~1e-2 relative)."""
+    from mpgan_tpu.models.mpgan import MaskConfig, MPDiscriminatorConfig, MPGeneratorConfig
+
+    g_cfg, d_cfg = _tiny_gan(dropout=0.0)
+    spec = NoiseSpec((10, 8), 0.2)
+    g_opt = build_optimizer("rmsprop", 1e-4)
+    d_opt = build_optimizer("rmsprop", 3e-4)
+    state0 = init_train_state(
+        jax.random.PRNGKey(0), mp_generator_init, mp_discriminator_init,
+        g_cfg, d_cfg, g_opt, d_opt,
+    )
+    data, labels = _fake_batch(np.random.RandomState(0), 16, 10)
+
+    losses = {}
+    states = {}
+    for bf16 in (False, True):
+        d_step, g_step = make_train_steps(
+            step_cfg=StepConfig(loss="ls", bf16=bf16),
+            g_apply=mp_generator_apply, d_apply=mp_discriminator_apply,
+            g_cfg=g_cfg, d_cfg=d_cfg, spec=spec, g_opt=g_opt, d_opt=d_opt,
+        )
+        st = state0
+        d_step, g_step = jax.jit(d_step), jax.jit(g_step)
+        for _ in range(3):
+            st, dm = d_step(st, data, labels)
+            st, gm = g_step(st, data, labels)
+        losses[bf16] = (float(dm["D"]), float(gm["G"]))
+        states[bf16] = st
+
+    # master state dtype is f32 in BOTH runs
+    for leaf in jax.tree.leaves(states[True]):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+    # dynamics track the f32 run to mixed-precision resolution
+    np.testing.assert_allclose(losses[True][0], losses[False][0], rtol=0.05)
+    np.testing.assert_allclose(losses[True][1], losses[False][1], rtol=0.05)
+    w_f32 = np.asarray(states[False].g_params["mp_layers"][0]["fe"]["layers"][0]["w"])
+    w_bf16 = np.asarray(states[True].g_params["mp_layers"][0]["fe"]["layers"][0]["w"])
+    np.testing.assert_allclose(w_bf16, w_f32, rtol=0.1, atol=1e-4)
