@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> None:
         split_fraction=(args.ttsplit, 1 - args.ttsplit),
         mask_feature=args.get("mask", False),
         num_particles_label=bool(args.clabels or args.get("mask_c") or args.get("gapt_mask")),
+        # --num-samples bounds the synthetic stand-in dataset (the real
+        # HDF5 path always loads the full file, like the reference)
+        synthetic_num_jets=args.num_samples,
     )
     train_ds = JetNetDataset(**data_kwargs, split="train")
     valid_ds = JetNetDataset(**data_kwargs, split="valid")

@@ -68,13 +68,57 @@ def mha_apply(
     kh = proj(k, wk, bk, lk)
     vh = proj(v, wv, bv, lk)
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / math.sqrt(head_dim)
-    if attn_mask is not None:
-        scores = jnp.where(attn_mask[:, None, :, :], -jnp.inf, scores)
-    weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
+    g = _pack_group(b * num_heads, lq, lk)
+    if g > 1:
+        # jet-head packing: G (batch x head) problems ride ONE block-diagonal
+        # attention of shape [G*lq, G*lk]. Cross-jet blocks are masked to
+        # -inf, so one softmax + one AV matmul compute all G blocks exactly
+        # (exp(-inf) = 0 contributes exact zeros). Turns B*H MXU-hostile
+        # [30, 30] matmuls into B*H/G well-tiled [~128, ~128] ones — the
+        # whole reason mfu_30p_gapt was 0.011 (see scripts/gapt_ablation.py).
+        bg = b * num_heads // g
+        qp = qh.reshape(bg, g * lq, head_dim)
+        kp = kh.reshape(bg, g * lk, head_dim)
+        vp = vh.reshape(bg, g * lk, head_dim)
+        scores = jnp.einsum("bqd,bkd->bqk", qp, kp) / math.sqrt(head_dim)
+        row_g = jnp.arange(g * lq) // lq
+        col_g = jnp.arange(g * lk) // lk
+        blocked = row_g[:, None] != col_g[None, :]  # [g*lq, g*lk]
+        if attn_mask is not None:
+            am = jnp.broadcast_to(attn_mask[:, None, :, :], (b, num_heads, lq, lk))
+            am = am.reshape(bg, g, lq, lk)
+            # diagonal blocks carry the per-jet mask, off-diagonal blocks
+            # are unconditionally blocked (the eye selects which)
+            packed_mask = jnp.where(
+                jnp.eye(g, dtype=bool)[None, :, None, :, None],
+                am[:, :, :, None, :],
+                True,
+            ).reshape(bg, g * lq, g * lk)
+            scores = jnp.where(packed_mask, -jnp.inf, scores)
+        else:
+            scores = jnp.where(blocked[None], -jnp.inf, scores)
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bqk,bkd->bqd", weights, vp)
+        out = out.reshape(b, num_heads, lq, head_dim)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / math.sqrt(head_dim)
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask[:, None, :, :], -jnp.inf, scores)
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
     out = out.transpose(0, 2, 1, 3).reshape(b, lq, e)
     return out @ params["out_w"].T + params["out_b"]
+
+
+def _pack_group(bh: int, lq: int, lk: int) -> int:
+    """How many (batch x head) attention problems to pack into one
+    block-diagonal matmul: aim for ~128 rows/cols (one MXU tile), require
+    an exact divisor of ``bh``. 1 disables packing (N >= 128 clouds)."""
+    target = min(128 // max(lq, lk), bh)
+    for g in range(target, 1, -1):
+        if bh % g == 0:
+            return g
+    return 1
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:

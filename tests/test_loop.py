@@ -289,6 +289,24 @@ def test_trainer_mesh_epoch_scan_matches_per_batch_loop(tmp_path):
     assert len(t1.losses["w1m"]) == 2 and len(t1.losses["fpd"]) == 2
 
 
+def test_trainer_mesh_interleave_scan_matches_per_batch_loop(tmp_path):
+    """Mesh + num_critic>1: the lax.cond interleave branch of the epoch
+    scan must also hold under shard_map."""
+    train_ds, valid_ds = _datasets()
+    common = dict(num_epochs=2, fpd=False, mesh_shape=8, num_critic=2, num_gen=1)
+    a1 = _tiny_args(tmp_path, name="mi_scan", **common)
+    t1 = Trainer(a1, train_dataset=train_ds, valid_dataset=valid_ds)
+    t1.train()
+    assert t1._staged is not None
+    a2 = _tiny_args(tmp_path, name="mi_loop", epoch_scan=False, **common)
+    t2 = Trainer(a2, train_dataset=train_ds, valid_dataset=valid_ds)
+    t2.train()
+    for key in ("G", "D"):
+        np.testing.assert_allclose(
+            t1.losses[key], t2.losses[key], rtol=2e-4, atol=1e-6, err_msg=key
+        )
+
+
 def test_epoch_scan_matches_per_batch_loop(tmp_path):
     """The single-dispatch epoch scan must reproduce the host-loop path
     exactly (same shuffle stream, same rng threading, same interleave):
@@ -311,3 +329,31 @@ def test_epoch_scan_matches_per_batch_loop(tmp_path):
                 t1.losses[key], t2.losses[key], rtol=2e-4, atol=1e-6,
                 err_msg=f"{name}:{key}",
             )
+
+
+def test_scan_gate_requires_drop_remainder(tmp_path):
+    """ADVICE r2: a loader with a ragged final batch cannot ride the scan —
+    _can_scan_epoch must route it to the host loop instead of crashing."""
+    from mpgan_tpu.data.loader import BatchLoader
+
+    args = _tiny_args(tmp_path, name="gate")
+    train_ds, valid_ds = _datasets()
+    t = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    ragged = BatchLoader(
+        train_ds.particle_data, train_ds.jet_data,
+        batch_size=32, shuffle=True, drop_remainder=False, seed=0,
+    )
+    assert not t._can_scan_epoch(ragged)
+    ok = BatchLoader(
+        train_ds.particle_data, train_ds.jet_data,
+        batch_size=32, shuffle=True, seed=0,
+    )
+    assert t._can_scan_epoch(ok)
+    # unshuffled loaders scan too now (epoch_batch_indices respects shuffle)
+    seq = BatchLoader(
+        train_ds.particle_data, train_ds.jet_data, batch_size=32, seed=0,
+    )
+    assert t._can_scan_epoch(seq)
+    np.testing.assert_array_equal(
+        seq.epoch_batch_indices().ravel(), np.arange(13 * 32)
+    )
