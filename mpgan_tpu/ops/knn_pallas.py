@@ -98,7 +98,14 @@ def knn_select(x1: jax.Array, x2: jax.Array, k: int, self_loops: bool = True) ->
     """Indices of the ``k`` nearest senders ``x2 [B,N,C]`` for every
     receiver ``x1 [B,N,C]`` -> ``[B, N, k]`` int32 (ascending-distance
     order, first-occurrence ties). Selection is not differentiated —
-    matching the reference, where sort indices are detached (SURVEY §7)."""
+    matching the reference, where sort indices are detached (SURVEY §7);
+    the explicit stop_gradient below is what makes that hold under
+    reverse-mode AD: without it, a train step whose generator output feeds
+    the discriminator's neighbour search tries to linearize this
+    pallas_call (no VJP) and fails at compile time — interpret mode does
+    NOT catch this."""
+    x1 = jax.lax.stop_gradient(x1)
+    x2 = jax.lax.stop_gradient(x2)
     b_sz, n, c = x1.shape
     kernel = functools.partial(_select_kernel, k, self_loops)
     return pl.pallas_call(

@@ -73,10 +73,37 @@ def check(name, cfg, b, n, masked=True, clabels=0, fne_np=False, tol=2e-2):
         denom = float(jnp.max(jnp.abs(bb))) + 1e-6
         grad_err = max(grad_err, float(jnp.max(jnp.abs(a - bb))) / denom)
 
-    ok = fwd_err < tol and grad_err < tol
+    # INPUT gradient (the g-step path: G's output backprops through D's
+    # layers, including the knn neighbour selection — exactly where a
+    # non-differentiable pallas_call fails only when COMPILED; caught a
+    # real round-3 bug interpret-mode tests could not see). Input grads on
+    # this hardware carry ~10% one-pass-bf16 noise in the PURE-XLA path too
+    # (cancellation-amplified; measured: jnp-default is 0.097 rel off the
+    # 3-pass truth where the kernel is 0.130), so the bound is
+    # self-calibrating: the fused error vs the HIGHEST-precision jnp
+    # reference must be within 2x the default-precision jnp path's own
+    # error (or tol, whichever is larger).
+    def loss_x(xx, use_pallas):
+        y, _ = mp_layer_apply(
+            cfg, params, state, xx, mask=mask, labels=lab,
+            num_jet_particles=njp, use_pallas=use_pallas,
+        )
+        return jnp.sum(jnp.tanh(y))
+
+    dx_fused = jax.jit(jax.grad(lambda xx: loss_x(xx, True)))(x)
+    dx_jnp = jax.jit(jax.grad(lambda xx: loss_x(xx, False)))(x)
+    with jax.default_matmul_precision("highest"):
+        dx_hi = jax.jit(jax.grad(lambda xx: loss_x(xx, False)))(x)
+    denom = float(jnp.max(jnp.abs(dx_hi))) + 1e-6
+    dx_err = float(jnp.max(jnp.abs(dx_fused - dx_hi))) / denom
+    dx_noise = float(jnp.max(jnp.abs(dx_jnp - dx_hi))) / denom
+    dx_bar = max(2.0 * dx_noise, tol)
+
+    ok = fwd_err < tol and grad_err < tol and dx_err < dx_bar
     print(
         f"{'PASS' if ok else 'FAIL'} {name}: fwd max|d|={fwd_err:.2e} "
-        f"grad rel max|d|={grad_err:.2e}"
+        f"grad rel max|d|={grad_err:.2e} dx rel={dx_err:.2e} "
+        f"(xla-default noise {dx_noise:.2e}, bar {dx_bar:.2e})"
     )
     return ok
 
