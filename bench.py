@@ -69,7 +69,8 @@ def bench_generator(
     num_knn: int | None = None,
     fe: list | None = None,
     bf16: bool = False,
-) -> float:
+) -> tuple[float, float, float]:
+    """Returns ``(jets/s, mfu, logical flops/jet)``."""
     from mpgan_tpu.models.mpgan import mp_generator_apply, mp_generator_init
     from mpgan_tpu.training.config import build_mpgan_generator, from_args_dict
 
@@ -88,12 +89,13 @@ def bench_generator(
     if bf16:
         # opt-in bf16 storage (fresh trainings; imported-weight eval keeps
         # its f32 parity contract): weights + activations bf16, the kernels'
-        # matmul chains keep f32 accumulation
-        cast = lambda t: jax.tree.map(  # noqa: E731
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t,
-        )
-        params, state = cast(params), cast(state)
+        # matmul chains keep f32 accumulation. Same cast policy as training
+        # (train_step._cast_floats) so the bench measures what --compute-
+        # dtype bfloat16 runs.
+        from mpgan_tpu.training.train_step import _cast_floats
+
+        params = _cast_floats(params, jnp.bfloat16)
+        state = _cast_floats(state, jnp.bfloat16)
         noise_dtype = jnp.bfloat16
 
     labels = jnp.asarray(
@@ -318,7 +320,7 @@ def bench_train_step(
 
 
 def main() -> None:
-    jets_150, mfu_150, flops_150 = bench_generator(150, batch=512)
+    jets_150, mfu_150, _ = bench_generator(150, batch=512)
     jets_150_knn, mfu_150_knn, _ = bench_generator(150, batch=512, num_knn=20)
     # pad-free opt-in variant for new trainings: fe=[128,256] has ~equal
     # G parameter count (371k vs 361k) but MXU-lane-aligned widths — no tile

@@ -81,9 +81,6 @@ def mha_apply(
         kp = kh.reshape(bg, g * lk, head_dim)
         vp = vh.reshape(bg, g * lk, head_dim)
         scores = jnp.einsum("bqd,bkd->bqk", qp, kp) / math.sqrt(head_dim)
-        row_g = jnp.arange(g * lq) // lq
-        col_g = jnp.arange(g * lk) // lk
-        blocked = row_g[:, None] != col_g[None, :]  # [g*lq, g*lk]
         if attn_mask is not None:
             am = jnp.broadcast_to(attn_mask[:, None, :, :], (b, num_heads, lq, lk))
             am = am.reshape(bg, g, lq, lk)
@@ -94,9 +91,11 @@ def mha_apply(
                 am[:, :, :, None, :],
                 True,
             ).reshape(bg, g * lq, g * lk)
-            scores = jnp.where(packed_mask, -jnp.inf, scores)
         else:
-            scores = jnp.where(blocked[None], -jnp.inf, scores)
+            row_g = jnp.arange(g * lq) // lq
+            col_g = jnp.arange(g * lk) // lk
+            packed_mask = (row_g[:, None] != col_g[None, :])[None]  # [1, g*lq, g*lk]
+        scores = jnp.where(packed_mask, -jnp.inf, scores)
         weights = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bqk,bkd->bqd", weights, vp)
         out = out.reshape(b, num_heads, lq, head_dim)

@@ -107,6 +107,13 @@ def knn_select(x1: jax.Array, x2: jax.Array, k: int, self_loops: bool = True) ->
     x1 = jax.lax.stop_gradient(x1)
     x2 = jax.lax.stop_gradient(x2)
     b_sz, n, c = x1.shape
+    if k + (0 if self_loops else 1) > n:
+        # the replaced XLA search (approx_max_k) failed loudly here; the
+        # extraction loop would instead silently emit sentinel indices
+        raise ValueError(
+            f"knn_select: k={k} (+{0 if self_loops else 1} dropped self) "
+            f"exceeds the {n} available senders"
+        )
     kernel = functools.partial(_select_kernel, k, self_loops)
     return pl.pallas_call(
         kernel,

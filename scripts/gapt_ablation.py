@@ -13,31 +13,21 @@ differential single-dispatch protocol as bench.py. Candidate hypotheses:
 
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-ITERS = 16
-REPEATS = 3
+# reuse bench.py's differential single-dispatch timing protocol so these
+# numbers stay comparable with the recorded bench artifacts
+import pathlib
+import sys  # noqa: E402
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+from bench import ITERS, _differential_time
 
 
 def _difftime(run, *args):
-    float(run(ITERS, *args))
-    float(run(2 * ITERS, *args))
-    t1s, t2s = [], []
-    for _ in range(REPEATS):
-        t = time.perf_counter()
-        float(run(ITERS, *args))
-        t1s.append(time.perf_counter() - t)
-        t = time.perf_counter()
-        float(run(2 * ITERS, *args))
-        t2s.append(time.perf_counter() - t)
-    best = min(t2s) - min(t1s)
-    if best <= 0:
-        raise RuntimeError("non-positive differential; rerun")
-    return best / ITERS
+    return _differential_time(run, *args) / ITERS
 
 
 def main():

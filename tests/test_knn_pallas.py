@@ -174,3 +174,16 @@ def test_knn_select_ascending_distance_order():
         for i in range(16):
             dd = d[i, idx[b, i]]
             assert np.all(np.diff(dd) >= -1e-6), (b, i, dd)
+
+
+def test_knn_select_rejects_k_exceeding_senders():
+    """k (+1 dropped self) > N must fail loudly, like the XLA search did —
+    the extraction loop would otherwise emit silent sentinel indices."""
+    from mpgan_tpu.ops.knn_pallas import knn_select
+
+    x, _ = _data(b=2, n=8, seed=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        knn_select(x, x, 9, True)
+    with pytest.raises(ValueError, match="exceeds"):
+        knn_select(x, x, 8, False)  # 8 + dropped self > 8
+    assert knn_select(x, x, 8, True).shape == (2, 8, 8)  # k == N is fine
