@@ -75,3 +75,34 @@ def test_gapt_parity(reference_path, torch, overrides):
     np.testing.assert_allclose(
         np.asarray(ours_score)[:, 0], ref_score.reshape(-1), rtol=1e-3, atol=1e-5
     )
+
+
+def test_packed_attention_group_selection_and_large_n_fallback():
+    """Jet-head packing picks ~128-row groups for small clouds and disables
+    itself (g=1, unpacked path) for N >= 128; both paths agree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpgan_tpu.ops.attention import _pack_group, mha_apply, mha_init
+
+    assert _pack_group(16, 30, 30) == 4
+    assert _pack_group(16, 150, 150) == 1  # no packing at large N
+    assert _pack_group(7, 30, 30) == 1  # prime batch*heads: no divisor
+    assert _pack_group(16, 1, 30) == 4  # PMA: 1 query row, N keys
+
+    # N=150 exercises the unpacked branch end-to-end
+    params = mha_init(jax.random.PRNGKey(0), 32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 150, 32)) * 0.3
+    out = mha_apply(params, 4, x, x, x)
+    assert out.shape == (2, 150, 32)
+    assert bool(jnp.isfinite(out).all())
+
+    # batch-size invariance under packing: a b=4 call (bh=16 -> g=4 packs
+    # across jets) must reproduce the b=1 call's rows exactly (any cross-jet
+    # leakage through the packed block mask would show here)
+    xq = jax.random.normal(jax.random.PRNGKey(2), (4, 20, 32)) * 0.3
+    mask = jnp.zeros((4, 20, 20), bool).at[:, :, 15:].set(True)
+    packed = mha_apply(params, 4, xq, xq, xq, mask)
+    one = mha_apply(params, 4, xq[:1], xq[:1], xq[:1], mask[:1])
+    np.testing.assert_allclose(np.asarray(packed[:1]), np.asarray(one), rtol=1e-5, atol=1e-6)
