@@ -187,3 +187,19 @@ def test_knn_select_rejects_k_exceeding_senders():
     with pytest.raises(ValueError, match="exceeds"):
         knn_select(x, x, 8, False)  # 8 + dropped self > 8
     assert knn_select(x, x, 8, True).shape == (2, 8, 8)  # k == N is fine
+
+
+def test_fused_knn_coords_only_selection():
+    """pos_diffs without all_ef selects neighbours on the first num_coords
+    features only (mpgan/model.py:347-359 slices coords) — the fused path's
+    sel_cols slice must match the jnp path."""
+    cfg = MPLayerConfig.build(
+        8, [24, 16], [32], 8, fully_connected=False, num_knn=5,
+        pos_diffs=True, all_ef=False,
+    )
+    assert not cfg.all_ef and cfg.pos_diffs
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data(seed=11)
+    y_ref, _ = mp_layer_apply(cfg, params, state, x, mask=mask, use_pallas=False)
+    y_fused, _ = mp_layer_apply(cfg, params, state, x, mask=mask, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), rtol=5e-4, atol=1e-5)
