@@ -29,7 +29,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mp_pallas import _dleaky, _dropmul, _interpret, _leaky, _split_mlp_chain
+from .mp_pallas import (
+    _dleaky,
+    _dropmul,
+    _interpret,
+    _leaky,
+    _pick_splits,
+    _split_mlp_chain,
+)
 
 
 def _select_kernel(k: int, self_loops: bool, *refs):
@@ -535,6 +542,415 @@ def _vjp_fwd(x, mask, idx, dists, cond, weights_flat, seed_v, alpha, sum_agg, dr
     out = knn_edge_aggregate(x, mask, idx, dists, cond, weights_flat, seed_v,
                              alpha, sum_agg, dropout_p)
     return out, (x, mask, idx, dists, cond, weights_flat, seed_v)
+
+
+# ---------------------------------------------------------------------------
+# v2: relayout-free kernel — every array stays 2-D [rows, lanes]; the sender
+# gather, the receiver broadcast AND the k-aggregation are all one-hot MXU
+# matmuls, and the first fe layer is decomposed like the dense kernel's
+# (u1 = x @ W1_recv, u2 = x @ W1_send + bias/cond fold), so the gather
+# matmul emits first-layer pre-activations directly.
+#
+# Why: at k=20/21 the v1 kernel's ``broadcast_to(..).reshape(tr*k, f)``
+# receiver assembly and ``reshape(tr, k, h).sum(1)`` aggregation are ragged
+# sublane Mosaic relayouts — the same disease round 2 measured at 3x the
+# matmul chain in the dense kernel (PERF.md). Padding k to 24 inflated rows
+# by 20% and lost 8%; v2 removes the reshapes instead of aligning them.
+# ---------------------------------------------------------------------------
+
+
+def _onehot_recv(rows: int, tr: int, k: int):
+    """[rows, TR] one-hot: row r belongs to receiver r // k — built without
+    integer division (iota multiply-subtract), so it lowers on Mosaic."""
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, tr), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, tr), 1)
+    d = row_i - col_i * k
+    return jnp.logical_and(d >= 0, d < k).astype(jnp.float32)
+
+
+def _fwd_kernel_v2(num_hidden, alpha, sum_agg, tr, k, use_dists, dropout_p, *refs):
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    u1_ref = refs[base]  # [1, TR, H1] receiver block
+    u2m_ref = refs[base + 1]  # [1, N, H1+1] sender embed + mask col
+    idx_ref = refs[base + 2]  # [1, TR*k, 1]
+    off = base + 3
+    dists_ref = wd_ref = None
+    if use_dists:
+        dists_ref = refs[off]  # [1, TR*k, 1]
+        wd_ref = refs[off + 1]  # [1, H1]
+        off += 2
+    wb = refs[off : off + 2 * num_hidden]
+    out_ref = refs[off + 2 * num_hidden]
+
+    seed = seed_ref[0] if dropout_p > 0 else None
+    offset = _row_offset(tr, k) if dropout_p > 0 else None
+    n = u2m_ref.shape[1]
+    h1 = u1_ref.shape[2]
+    rows = tr * k
+
+    u2m = u2m_ref[0].astype(jnp.float32)  # [N, H1+1]
+    idx = idx_ref[0]  # [rows, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    onehot_s = (cols == idx).astype(jnp.float32)
+    g2 = jax.lax.dot_general(
+        onehot_s, u2m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [rows, H1+1]
+    onehot_r = _onehot_recv(rows, tr, k)
+    u1 = u1_ref[0].astype(jnp.float32)  # [TR, H1]
+    g1 = jax.lax.dot_general(
+        onehot_r, u1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [rows, H1]
+    z1 = g1 + g2[:, :h1]
+    if use_dists:
+        z1 = z1 + dists_ref[0].astype(jnp.float32) * wd_ref[:].astype(jnp.float32)
+    smask = g2[:, h1 : h1 + 1]
+
+    a = _leaky(z1, alpha)
+    if dropout_p > 0:
+        a = a * _dropmul(a.shape, dropout_p, seed, 0, offset)
+    a = _split_mlp_chain(
+        a, wb, num_hidden, alpha, dropout_p, seed, offset, 1, _pick_splits(rows)
+    )
+    am = a * smask
+    agg = jax.lax.dot_general(
+        onehot_r, am, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TR, H_out]
+    if not sum_agg:
+        agg = agg / k
+    out_ref[0] = agg.astype(out_ref.dtype)
+
+
+def _bwd_kernel_v2(num_hidden, alpha, sum_agg, tr, k, use_dists, dropout_p,
+                   need_wgrads, *refs):
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    u1_ref = refs[base]
+    u2m_ref = refs[base + 1]
+    idx_ref = refs[base + 2]
+    off = base + 3
+    dists_ref = wd_ref = None
+    if use_dists:
+        dists_ref = refs[off]
+        wd_ref = refs[off + 1]
+        off += 2
+    wb = refs[off : off + 2 * num_hidden]
+    g_ref = refs[off + 2 * num_hidden]
+    off2 = off + 2 * num_hidden + 1
+    du1_ref = refs[off2]  # [1, TR, H1] block-exclusive
+    du2_ref = refs[off2 + 1]  # [1, N, H1] accumulated over receiver blocks
+    dmask_ref = refs[off2 + 2]  # [1, N, 1] accumulated
+    off2 += 3
+    ddists_ref = dwd_ref = None
+    if use_dists:
+        ddists_ref = refs[off2]  # [1, TR*k, 1]
+        dwd_ref = refs[off2 + 1]  # [1, H1] accumulated
+        off2 += 2
+    dwb = refs[off2:]
+
+    seed = seed_ref[0] if dropout_p > 0 else None
+    offset = _row_offset(tr, k) if dropout_p > 0 else None
+    n = u2m_ref.shape[1]
+    h1 = u1_ref.shape[2]
+    rows = tr * k
+    i = pl.program_id(1)
+    is_first = jnp.logical_and(pl.program_id(0) == 0, i == 0)
+
+    @pl.when(is_first)
+    def _():
+        for r in dwb:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+        if dwd_ref is not None:
+            dwd_ref[:] = jnp.zeros(dwd_ref.shape, dwd_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        du2_ref[0] = jnp.zeros(du2_ref.shape[1:], du2_ref.dtype)
+        dmask_ref[0] = jnp.zeros(dmask_ref.shape[1:], dmask_ref.dtype)
+
+    # ---- recompute forward (two interleaved half-row chains, as v1)
+    u2m = u2m_ref[0].astype(jnp.float32)
+    idx = idx_ref[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    onehot_s = (cols == idx).astype(jnp.float32)
+    g2 = jax.lax.dot_general(
+        onehot_s, u2m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    onehot_r = _onehot_recv(rows, tr, k)
+    u1 = u1_ref[0].astype(jnp.float32)
+    g1 = jax.lax.dot_general(
+        onehot_r, u1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    z1 = g1 + g2[:, :h1]
+    if use_dists:
+        z1 = z1 + dists_ref[0].astype(jnp.float32) * wd_ref[:].astype(jnp.float32)
+    smask = g2[:, h1 : h1 + 1]
+
+    half = rows // 2
+    offs = [offset, None if offset is None else offset + half]
+    pre1 = [z1[:half], z1[half:]]
+    a1 = [_leaky(c, alpha) for c in pre1]
+    if dropout_p > 0:
+        a1 = [c * _dropmul(c.shape, dropout_p, seed, 0, o) for c, o in zip(a1, offs)]
+    acts = [a1]  # acts[layer] = inputs to hidden layer `layer`
+    pre = [pre1]
+    cur = a1
+    for layer in range(num_hidden):
+        w = wb[2 * layer][:]
+        b = wb[2 * layer + 1][:]
+        zs = [
+            jax.lax.dot_general(
+                c.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b.astype(jnp.float32)
+            for c in cur
+        ]
+        pre.append(zs)
+        cur = [_leaky(z, alpha) for z in zs]
+        if dropout_p > 0:
+            cur = [
+                c * _dropmul(c.shape, dropout_p, seed, layer + 1, o)
+                for c, o in zip(cur, offs)
+            ]
+        acts.append(cur)
+
+    # ---- backward
+    g = g_ref[0].astype(jnp.float32)  # [TR, H_out]
+    if not sum_agg:
+        g = g / k
+    g_rows = jax.lax.dot_general(
+        onehot_r, g, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [rows, H_out]
+    a_last = jnp.concatenate(acts[-1], axis=0)
+    dsmask = jnp.sum(a_last * g_rows, axis=1, keepdims=True)  # [rows, 1]
+    da_full = g_rows * smask
+    das = [da_full[:half], da_full[half:]]
+
+    for layer in range(num_hidden - 1, -1, -1):
+        if dropout_p > 0:
+            das = [
+                d * _dropmul(d.shape, dropout_p, seed, layer + 1, o)
+                for d, o in zip(das, offs)
+            ]
+        dzs = [d * _dleaky(pre[layer + 1][h], alpha) for h, d in enumerate(das)]
+        w = wb[2 * layer][:].astype(jnp.float32)
+        if need_wgrads:
+            for h in (0, 1):
+                dwb[2 * layer][:] += jax.lax.dot_general(
+                    acts[layer][h], dzs[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dwb[2 * layer].dtype)
+            dwb[2 * layer + 1][:] += (
+                jnp.sum(dzs[0], axis=0) + jnp.sum(dzs[1], axis=0)
+            ).astype(dwb[2 * layer + 1].dtype)
+        das = [
+            jax.lax.dot_general(
+                dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            for dz in dzs
+        ]
+
+    if dropout_p > 0:
+        das = [d * _dropmul(d.shape, dropout_p, seed, 0, o) for d, o in zip(das, offs)]
+    dz1 = jnp.concatenate(
+        [d * _dleaky(pre1[h], alpha) for h, d in enumerate(das)], axis=0
+    )  # [rows, H1]
+
+    du1_ref[0] = jax.lax.dot_general(
+        onehot_r, dz1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(du1_ref.dtype)
+    du2_ref[0] += jax.lax.dot_general(
+        onehot_s, dz1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(du2_ref.dtype)
+    dmask_ref[0] += jax.lax.dot_general(
+        onehot_s, dsmask, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dmask_ref.dtype)
+    if use_dists:
+        ddists_ref[0] = jnp.sum(
+            dz1 * wd_ref[:].astype(jnp.float32), axis=1, keepdims=True
+        ).astype(ddists_ref.dtype)
+        if need_wgrads:
+            dwd_ref[:] += jax.lax.dot_general(
+                dists_ref[0].astype(jnp.float32), dz1, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dwd_ref.dtype)
+
+
+def _v2_common_specs(b_sz, n, k, tr, h1, use_dists, dropout_p):
+    in_specs = []
+    if dropout_p > 0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    in_specs += [
+        pl.BlockSpec((1, tr, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),  # u1
+        pl.BlockSpec((1, n, h1 + 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),  # u2m
+        pl.BlockSpec((1, tr * k, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),  # idx
+    ]
+    if use_dists:
+        in_specs.append(
+            pl.BlockSpec((1, tr * k, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        )
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w_d [1, H1]
+    return in_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def knn_edge_aggregate_v2(u1, u2m, idx, dists, w_d, weights_flat, seed_v, alpha,
+                          sum_agg, dropout_p, need_wgrads=True):
+    """Relayout-free fused knn message passing over pre-decomposed first-layer
+    embeddings.
+
+    ``agg[b, i] = sum_{s} smask_s * fe_rest(leaky(u1[b, i] + u2[b, idx] +
+    dists * w_d))`` where ``u1 = x @ W1_recv``, ``u2m[..., :H1] = x @ W1_send
+    + bias`` (first-layer bias and per-jet conditioning pre-folded, exactly
+    like the dense kernel's ``edge_aggregate``), ``u2m[..., H1:]`` the sender
+    mask column, and ``w_d`` the first-layer weight column of the distance
+    edge feature. ``weights_flat = (w2, b2, ...)`` are the remaining fe
+    layers. First-layer weight gradients flow outside the kernel through
+    du1/du2m (XLA contracts them against x)."""
+    return _fwd_impl_v2(u1, u2m, idx, dists, w_d, _weights_list(weights_flat),
+                        seed_v, alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p)
+
+
+def _fwd_impl_v2(u1, u2m, idx, dists, w_d, weights, seed, *, alpha, sum_agg, dropout_p):
+    b_sz, n, h1 = u1.shape
+    k = idx.shape[-1]
+    tr = _block_receivers(n, k)
+    use_dists = dists is not None
+    h_out = weights[-1][0].shape[1] if weights else h1
+
+    in_specs = _v2_common_specs(b_sz, n, k, tr, h1, use_dists, dropout_p)
+    args = []
+    if dropout_p > 0:
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
+    args += [u1, u2m, idx.reshape(b_sz, n * k, 1)]
+    if use_dists:
+        args.append(dists.reshape(b_sz, n * k, 1))
+        args.append(w_d.reshape(1, h1))
+    for w, bias in weights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.extend([w, bias])
+
+    kernel = functools.partial(
+        _fwd_kernel_v2, len(weights), alpha, sum_agg, tr, k, use_dists, dropout_p
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b_sz, n // tr),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tr, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_sz, n, h_out), u1.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*args)
+
+
+def _bwd_impl_v2(u1, u2m, idx, dists, w_d, weights, g, seed, *, alpha, sum_agg,
+                 dropout_p, need_wgrads=True):
+    b_sz, n, h1 = u1.shape
+    k = idx.shape[-1]
+    tr = _block_receivers(n, k)
+    use_dists = dists is not None
+    h_out = weights[-1][0].shape[1] if weights else h1
+
+    in_specs = _v2_common_specs(b_sz, n, k, tr, h1, use_dists, dropout_p)
+    args = []
+    if dropout_p > 0:
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
+    args += [u1, u2m, idx.reshape(b_sz, n * k, 1)]
+    if use_dists:
+        args.append(dists.reshape(b_sz, n * k, 1))
+        args.append(w_d.reshape(1, h1))
+    for w, bias in weights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.extend([w, bias])
+    in_specs.append(
+        pl.BlockSpec((1, tr, h_out), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(g)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((b_sz, n, h1), u1.dtype),  # du1
+        jax.ShapeDtypeStruct((b_sz, n, h1), jnp.float32),  # du2 (accum over i)
+        jax.ShapeDtypeStruct((b_sz, n, 1), jnp.float32),  # dmask (accum over i)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, tr, h1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if use_dists:
+        out_shapes.append(jax.ShapeDtypeStruct((b_sz, n * k, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, tr * k, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((1, h1), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    for w, bias in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct(bias.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _bwd_kernel_v2, len(weights), alpha, sum_agg, tr, k, use_dists, dropout_p,
+        need_wgrads,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b_sz, n // tr),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*args)
+
+    du1, du2, dmask = outs[0], outs[1], outs[2]
+    o = 3
+    ddists = dwd = None
+    if use_dists:
+        ddists = outs[o]
+        dwd = outs[o + 1]
+        o += 2
+    dweights = [(outs[o + 2 * i], outs[o + 1 + 2 * i]) for i in range(len(weights))]
+    return du1, du2, dmask, ddists, dwd, dweights
+
+
+def _vjp_fwd_v2(u1, u2m, idx, dists, w_d, weights_flat, seed_v, alpha, sum_agg,
+                dropout_p, need_wgrads):
+    out = knn_edge_aggregate_v2(u1, u2m, idx, dists, w_d, weights_flat, seed_v,
+                                alpha, sum_agg, dropout_p, need_wgrads)
+    return out, (u1, u2m, idx, dists, w_d, weights_flat, seed_v)
+
+
+def _vjp_bwd_v2(alpha, sum_agg, dropout_p, need_wgrads, res, g):
+    u1, u2m, idx, dists, w_d, weights_flat, seed_v = res
+    weights = _weights_list(weights_flat)
+    du1, du2, dmask, ddists, dwd, dweights = _bwd_impl_v2(
+        u1, u2m, idx, dists, w_d, weights, g, seed_v,
+        alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p, need_wgrads=need_wgrads,
+    )
+    du2m = jnp.concatenate(
+        [du2.astype(u2m.dtype), dmask.astype(u2m.dtype)], axis=-1
+    )
+    dw_flat = tuple(
+        d.astype(p.dtype) for pair, wpair in zip(dweights, weights) for d, p in zip(pair, wpair)
+    )
+    didx = None
+    dseed = None if seed_v is None else jnp.zeros_like(seed_v)
+    ddists = None if dists is None else ddists.reshape(dists.shape).astype(dists.dtype)
+    dwd = None if w_d is None else dwd.reshape(w_d.shape).astype(w_d.dtype)
+    return du1.astype(u1.dtype), du2m, didx, ddists, dwd, dw_flat, dseed
+
+
+knn_edge_aggregate_v2.defvjp(_vjp_fwd_v2, _vjp_bwd_v2)
 
 
 def _vjp_bwd(alpha, sum_agg, dropout_p, res, g):

@@ -26,8 +26,10 @@ used with batch size > 1. We broadcast the labels per batch element instead.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
+import threading
 from typing import Any
 
 import jax
@@ -35,6 +37,34 @@ import jax.numpy as jnp
 
 from .linear import MLPConfig, mlp_apply, mlp_init
 from .spectral_norm import spectral_normalize
+
+_SKIP_WGRADS = threading.local()
+
+
+@contextlib.contextmanager
+def skip_weight_grads():
+    """Trace-time hint: fused MP kernels traced inside this context build a
+    backward that SKIPS the edge-MLP weight-gradient contractions (returning
+    zeros for those cotangents).
+
+    Use it around applies whose weight cotangents are discarded — the G step
+    differentiates through D w.r.t. D's *input* only (train_step.py g_step;
+    train.py:479-523 has the same structure), but the fused backward is one
+    opaque Pallas kernel XLA cannot dead-code-eliminate into, so without the
+    hint it computes ``acts^T @ dz`` for every layer (one of the three
+    matmuls per layer) for nothing. Purely an optimization: input gradients
+    are bit-identical with or without it. Wrong use (consuming weight grads
+    traced under the context) yields exact zeros, not noise."""
+    prev = getattr(_SKIP_WGRADS, "v", False)
+    _SKIP_WGRADS.v = True
+    try:
+        yield
+    finally:
+        _SKIP_WGRADS.v = prev
+
+
+def _need_wgrads() -> bool:
+    return not getattr(_SKIP_WGRADS, "v", False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -298,7 +328,7 @@ def _mp_layer_apply_fused(
         ).astype(jnp.float32)
     agg = edge_aggregate(
         u1, u2, m, hidden_flat, seed, cfg.fe.leaky_relu_alpha, cfg.sum_agg,
-        block_receivers, dropout_p,
+        block_receivers, dropout_p, _need_wgrads(),
     )
 
     h = jnp.concatenate([agg, x], axis=-1)
@@ -328,8 +358,16 @@ def _mp_layer_apply_fused_knn(
     then pulls them via an in-VMEM one-hot matmul and fuses the full
     edge-MLP chain + masked k-aggregation (7.5x less matmul work than dense
     at N=150, k=20, and no HBM gather). ``MPGAN_TPU_KNN_SELECT=0`` falls
-    back to the XLA search for ablations."""
-    from .knn_pallas import knn_edge_aggregate, knn_select
+    back to the XLA search for ablations.
+
+    Two gather-kernel generations exist: the default v2 decomposes the first
+    fe layer like the dense path (u1/u2 embeddings computed here, bias +
+    per-jet conditioning folded into u2) and keeps every in-kernel array
+    2-D with one-hot-matmul gather/broadcast/aggregation — no Mosaic
+    relayouts. ``MPGAN_TPU_KNN_KERNEL=1`` (read at trace time) restores the
+    round-2 v1 kernel, which assembles the raw ``[x_i, x_j, dists, cond]``
+    pair rows in-kernel, for ablations."""
+    from .knn_pallas import knn_edge_aggregate, knn_edge_aggregate_v2, knn_select
 
     weights, fe_state = _fe_weights_sn(cfg, params, state, update_sn)
     if os.environ.get("MPGAN_TPU_KNN_SELECT", "1") != "0":
@@ -353,15 +391,6 @@ def _mp_layer_apply_fused_knn(
         idx, knn_dists = _knn_search(cfg, x, mask)
         dists = knn_dists[..., 0] if cfg.pos_diffs else None
 
-    cond = None
-    if cfg.clabels or cfg.mask_fne_np:
-        parts = []
-        if cfg.clabels:
-            parts.append(labels[:, : cfg.clabels].astype(x.dtype))
-        if cfg.mask_fne_np:
-            parts.append(num_jet_particles.astype(x.dtype).reshape(-1, 1))
-        cond = jnp.concatenate(parts, axis=-1)
-
     m = mask if mask is not None else jnp.ones(x.shape[:2] + (1,), x.dtype)
 
     dropout_p = cfg.fe.dropout_p if train else 0.0
@@ -372,11 +401,50 @@ def _mp_layer_apply_fused_knn(
         seed = jax.random.randint(
             jax.random.fold_in(rng, 1), (), 0, 2**30, dtype=jnp.int32
         ).astype(jnp.float32)
-    weights_t = tuple(p for w, bb in weights for p in (w.T, bb))
-    agg = knn_edge_aggregate(
-        x, m, idx, dists, cond, weights_t, seed,
-        cfg.fe.leaky_relu_alpha, cfg.sum_agg, dropout_p,
-    )
+
+    if os.environ.get("MPGAN_TPU_KNN_KERNEL", "2") != "1":
+        # v2: first-layer decomposition (dense-kernel style). W1 columns
+        # follow the pair-row layout [x_recv | x_send | dists? | clabels |
+        # njp] (mpgan/model.py:372-376 + conditioning appends)
+        f = cfg.input_node_size
+        w1, b1 = weights[0]
+        u1 = x @ w1[:, :f].T
+        bias = jnp.broadcast_to(b1, (x.shape[0], b1.shape[0]))
+        col = 2 * f
+        w_d = None
+        if cfg.pos_diffs:
+            w_d = w1[:, col]
+            col += 1
+        if cfg.clabels:
+            bias = bias + labels[:, : cfg.clabels].astype(x.dtype) @ w1[
+                :, col : col + cfg.clabels
+            ].T
+            col += cfg.clabels
+        if cfg.mask_fne_np:
+            njp = num_jet_particles.astype(x.dtype).reshape(-1, 1)
+            bias = bias + njp @ w1[:, col : col + 1].T
+        u2m = jnp.concatenate(
+            [x @ w1[:, f : 2 * f].T + bias[:, None, :], m.astype(x.dtype)], axis=-1
+        )
+        hidden_flat = tuple(p for w, bb in weights[1:] for p in (w.T, bb))
+        agg = knn_edge_aggregate_v2(
+            u1, u2m, idx, dists, w_d, hidden_flat, seed,
+            cfg.fe.leaky_relu_alpha, cfg.sum_agg, dropout_p, _need_wgrads(),
+        )
+    else:
+        cond = None
+        if cfg.clabels or cfg.mask_fne_np:
+            parts = []
+            if cfg.clabels:
+                parts.append(labels[:, : cfg.clabels].astype(x.dtype))
+            if cfg.mask_fne_np:
+                parts.append(num_jet_particles.astype(x.dtype).reshape(-1, 1))
+            cond = jnp.concatenate(parts, axis=-1)
+        weights_t = tuple(p for w, bb in weights for p in (w.T, bb))
+        agg = knn_edge_aggregate(
+            x, m, idx, dists, cond, weights_t, seed,
+            cfg.fe.leaky_relu_alpha, cfg.sum_agg, dropout_p,
+        )
 
     h = jnp.concatenate([agg, x], axis=-1)
     h = _append_cond(cfg, h, labels, num_jet_particles)

@@ -305,7 +305,7 @@ def _fwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, ns, dropout_p, *refs):
     out_ref[:] = agg.astype(out_ref.dtype)
 
 
-def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, ns, dropout_p, *refs):
+def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, ns, dropout_p, need_wgrads, *refs):
     base = 0
     if dropout_p > 0:
         seed_ref = refs[0]
@@ -382,14 +382,15 @@ def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, ns, dropout_p, *refs):
             ]
         dzs = [d * _dleaky(pre[layer][h], alpha) for h, d in enumerate(das)]
         w = wb[2 * (layer - 1)][:].astype(jnp.float32)
-        for h in (0, 1):
-            dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
-                acts[layer - 1][h], dzs[h], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dwb[2 * (layer - 1)].dtype)
-        dwb[2 * (layer - 1) + 1][:] += (
-            jnp.sum(dzs[0], axis=0) + jnp.sum(dzs[1], axis=0)
-        ).astype(dwb[2 * (layer - 1) + 1].dtype)
+        if need_wgrads:
+            for h in (0, 1):
+                dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
+                    acts[layer - 1][h], dzs[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dwb[2 * (layer - 1)].dtype)
+            dwb[2 * (layer - 1) + 1][:] += (
+                jnp.sum(dzs[0], axis=0) + jnp.sum(dzs[1], axis=0)
+            ).astype(dwb[2 * (layer - 1) + 1].dtype)
         das = [
             jax.lax.dot_general(
                 dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -430,6 +431,7 @@ def _bwd_kernel(
     n: int,
     ns: int,
     dropout_p: float,
+    need_wgrads: bool,
     *refs,
 ):
     """Recompute the edge pipeline for one (jet, receiver-block) tile and
@@ -438,6 +440,12 @@ def _bwd_kernel(
 
     outputs: du1 block [TI, H1], du2 accum [N, H1], dmask accum [N, 1],
     dw_k/db_k accums.
+
+    ``need_wgrads=False`` (static) skips the weight/bias-gradient
+    contractions (``acts^T @ dz`` — one of the three matmuls per layer) and
+    returns zeros for them: the G step discards D's weight cotangents
+    (train_step.py g_step), but the fused backward is one opaque kernel XLA
+    cannot DCE into.
     """
     base = 0
     if dropout_p > 0:
@@ -534,14 +542,15 @@ def _bwd_kernel(
             ]
         dzs = [d * _dleaky(pre[layer][h], alpha) for h, d in enumerate(das)]
         w = wb[2 * (layer - 1)][:].astype(jnp.float32)
-        for h in (0, 1):
-            dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
-                acts[layer - 1][h], dzs[h], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dwb[2 * (layer - 1)].dtype)
-        dwb[2 * (layer - 1) + 1][:] += (
-            jnp.sum(dzs[0], axis=0) + jnp.sum(dzs[1], axis=0)
-        ).astype(dwb[2 * (layer - 1) + 1].dtype)
+        if need_wgrads:
+            for h in (0, 1):
+                dwb[2 * (layer - 1)][:] += jax.lax.dot_general(
+                    acts[layer - 1][h], dzs[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dwb[2 * (layer - 1)].dtype)
+            dwb[2 * (layer - 1) + 1][:] += (
+                jnp.sum(dzs[0], axis=0) + jnp.sum(dzs[1], axis=0)
+            ).astype(dwb[2 * (layer - 1) + 1].dtype)
         das = [
             jax.lax.dot_general(
                 dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -560,7 +569,7 @@ def _bwd_kernel(
 
 def _edge_aggregate_bwd_impl(
     u1, u2, mask, hidden, g, seed=None, *, alpha, sum_agg, block_receivers,
-    dropout_p=0.0,
+    dropout_p=0.0, need_wgrads=True,
 ):
     b_sz, n, h1 = u1.shape
     num_layers = len(hidden) + 1
@@ -588,7 +597,8 @@ def _edge_aggregate_bwd_impl(
         g_spec = blk(n, h_out)
         du_specs = [blk(n, h1), blk(ns, h1), blk(ns, 1)]
         kernel = functools.partial(
-            _bwd_kernel_jets, num_layers, alpha, sum_agg, jb, n, ns, dropout_p
+            _bwd_kernel_jets, num_layers, alpha, sum_agg, jb, n, ns, dropout_p,
+            need_wgrads,
         )
     else:
         ti = min(block_receivers, n)
@@ -604,7 +614,9 @@ def _edge_aggregate_bwd_impl(
             pl.BlockSpec((1, ns, h1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ns, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ]
-        kernel = functools.partial(_bwd_kernel, num_layers, alpha, sum_agg, ti, n, ns, dropout_p)
+        kernel = functools.partial(
+            _bwd_kernel, num_layers, alpha, sum_agg, ti, n, ns, dropout_p, need_wgrads
+        )
 
     args += [u1, u2, mask]
     for w, b in hidden:
@@ -644,15 +656,19 @@ def _edge_aggregate_bwd_impl(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def edge_aggregate(
-    u1, u2, mask, hidden_flat, seed, alpha, sum_agg, block_receivers, dropout_p=0.0
+    u1, u2, mask, hidden_flat, seed, alpha, sum_agg, block_receivers,
+    dropout_p=0.0, need_wgrads=True,
 ):
     """``agg[b, i] = sum_j mask[b, j] * fe_mlp(u1[b, i] + u2[b, j])`` with fe
     hidden layers ``hidden_flat = (w2, b2, w3, b3, ...)``. The first-layer
     bias and any per-jet conditioning terms must be pre-folded into u2.
     ``seed`` (float32 scalar array) drives in-kernel dropout when
-    ``dropout_p > 0``; pass ``None``/zeros otherwise."""
+    ``dropout_p > 0``; pass ``None``/zeros otherwise. ``need_wgrads=False``
+    builds a backward that returns zeros for the hidden-layer weight
+    cotangents and skips their contractions — for call sites that discard
+    them (the G step differentiating through D, mp.py:skip_weight_grads)."""
     hidden = [
         (hidden_flat[2 * k], hidden_flat[2 * k + 1]) for k in range(len(hidden_flat) // 2)
     ]
@@ -663,22 +679,24 @@ def edge_aggregate(
 
 
 def _edge_aggregate_fwd(
-    u1, u2, mask, hidden_flat, seed, alpha, sum_agg, block_receivers, dropout_p
+    u1, u2, mask, hidden_flat, seed, alpha, sum_agg, block_receivers, dropout_p,
+    need_wgrads,
 ):
     out = edge_aggregate(
-        u1, u2, mask, hidden_flat, seed, alpha, sum_agg, block_receivers, dropout_p
+        u1, u2, mask, hidden_flat, seed, alpha, sum_agg, block_receivers, dropout_p,
+        need_wgrads,
     )
     return out, (u1, u2, mask, hidden_flat, seed)
 
 
-def _edge_aggregate_bwd(alpha, sum_agg, block_receivers, dropout_p, res, g):
+def _edge_aggregate_bwd(alpha, sum_agg, block_receivers, dropout_p, need_wgrads, res, g):
     u1, u2, mask, hidden_flat, seed = res
     hidden = [
         (hidden_flat[2 * k], hidden_flat[2 * k + 1]) for k in range(len(hidden_flat) // 2)
     ]
     du1, du2, dmask, dhidden = _edge_aggregate_bwd_impl(
         u1, u2, mask, hidden, g, seed, alpha=alpha, sum_agg=sum_agg,
-        block_receivers=block_receivers, dropout_p=dropout_p,
+        block_receivers=block_receivers, dropout_p=dropout_p, need_wgrads=need_wgrads,
     )
     dhidden_flat = tuple(x for pair in dhidden for x in pair)
     dhidden_flat = tuple(

@@ -357,6 +357,16 @@ def build_mpgan_generator(args: Args) -> MPGeneratorConfig:
 
 def build_mpgan_discriminator(args: Args) -> MPDiscriminatorConfig:
     clabels_fl = args.get("clabels_first_layer", args.clabels if args.clabels_fl else 0)
+    use_pallas = args.get("use_pallas")
+    if args.get("gp"):
+        # WGAN-GP differentiates D's input-gradient (grad-of-grad); the
+        # fused kernels' custom-VJP backward is itself a pallas_call with
+        # no AD rule, so GP configs pin D to the jnp path (XLA fuses it
+        # fine at GP's ext-model scales). All reference GP presets are ext
+        # models anyway (setup_training.py:957-1040); this only triggers on
+        # a user-forced mpgan+GP combination, which would otherwise fail
+        # loudly at trace time on TPU.
+        use_pallas = False
     return MPDiscriminatorConfig.build(
         num_particles=args.num_hits,
         input_node_size=args.node_feat_size,
@@ -374,7 +384,7 @@ def build_mpgan_discriminator(args: Args) -> MPDiscriminatorConfig:
         mp_args=_mp_args(args),
         mp_args_first_layer={"clabels": clabels_fl, "all_ef": False},
         linear_args=_linear_args(args, gen=False),
-        use_pallas=args.get("use_pallas"),
+        use_pallas=use_pallas,
     )
 
 

@@ -32,6 +32,7 @@ import jax
 import optax
 
 from ..ops.augment import AugmentConfig, augment
+from ..ops.mp import skip_weight_grads
 from .losses import d_loss, g_loss, gradient_penalty
 from .sampling import NoiseSpec
 
@@ -238,10 +239,15 @@ def make_train_steps(
             if post_gen is not None:
                 fake = post_gen(fake)
             fake = _maybe_aug(k_aug, fake)
-            # D stays in train mode during the G step (no D.eval() in train_G)
-            fake_out, d_state1 = d_apply(
-                d_cfg, state.d_params, state.d_state, fake, labels, train=True, rng=k_d
-            )
+            # D stays in train mode during the G step (no D.eval() in train_G).
+            # Only D's INPUT gradient is consumed here (grads are w.r.t.
+            # g_params); the trace-time hint lets fused MP kernels skip the
+            # weight-cotangent contractions XLA cannot DCE out of them.
+            with skip_weight_grads():
+                fake_out, d_state1 = d_apply(
+                    d_cfg, state.d_params, state.d_state, fake, labels,
+                    train=True, rng=k_d,
+                )
             return g_loss(step_cfg.loss, fake_out), (g_state1, d_state1)
 
         (loss_val, (g_state, d_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -21,6 +21,25 @@ def test_parser_flag_surface():
     assert args.lr_disc == pytest.approx(1.5e-5)
 
 
+def test_gp_pins_mpgan_discriminator_to_jnp_path():
+    """WGAN-GP needs grad-of-grad through D; the fused Pallas kernels'
+    custom-VJP backward has no AD rule, so a (user-forced) mpgan+GP config
+    must resolve D's use_pallas to False instead of failing at trace time
+    (training/config.py:build_mpgan_discriminator)."""
+    from mpgan_tpu.training.config import build_mpgan_discriminator
+
+    args = parse_cli(
+        ["--name", "t", "--model", "mpgan", "--jets", "g", "--loss", "w",
+         "--gp", "10"]
+    )
+    cfg = build_mpgan_discriminator(args)
+    assert cfg.use_pallas is False
+
+    args2 = parse_cli(["--name", "t", "--model", "mpgan", "--jets", "g"])
+    assert args2.gp == 0
+    assert build_mpgan_discriminator(args2).use_pallas is None
+
+
 def test_train_cli_smoke(tmp_path):
     from mpgan_tpu.cli.train import main
 

@@ -116,6 +116,84 @@ def test_fused_knn_dropout_exact_grad_replay():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
 
 
+def test_knn_v2_matches_v1_with_dropout(monkeypatch):
+    """The v2 (relayout-free, first-layer-decomposed) and v1 (in-kernel pair
+    assembly) gather kernels share the stateless dropout hash, row ordering
+    and layer salts, so with identical seeds their outputs and gradients
+    must agree to f32 summation-order tolerance even with dropout ON. Any
+    drift in v2's one-hot gather/broadcast/aggregation matmuls or its
+    first-layer decomposition (bias/cond folding, w_d distance column)
+    shows here."""
+    cfg = MPLayerConfig.build(
+        8, [24, 16], [32], 8, fully_connected=False, num_knn=5,
+        pos_diffs=True, all_ef=True, clabels=2, mask_fne_np=True,
+        linear_args={"dropout_p": 0.3},
+    )
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data(b=2, n=16, seed=3)
+    rng = np.random.RandomState(9)
+    labels = jnp.asarray(rng.rand(2, 2).astype(np.float32))
+    njp = jnp.sum(mask, axis=(1, 2)) / 16
+
+    def run(version, diff_wrt="params"):
+        monkeypatch.setenv("MPGAN_TPU_KNN_KERNEL", version)
+
+        def f(p, xx):
+            y, _ = mp_layer_apply(
+                cfg, p, state, xx, mask=mask, labels=labels,
+                num_jet_particles=njp, train=True, rng=jax.random.PRNGKey(7),
+                use_pallas=True,
+            )
+            return jnp.sum(jnp.sin(y)), y
+
+        (loss, y), grads = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+            params, x
+        )
+        return y, grads
+
+    y1, g1 = run("1")
+    y2, g2 = run("2")
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=5e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_knn_v2_need_wgrads_false_skips_weight_grads():
+    """need_wgrads=False must keep du1/du2m/ddists bit-identical and return
+    exact zeros for the hidden-layer weight and w_d cotangents (the G-step
+    hint, mp.skip_weight_grads)."""
+    from mpgan_tpu.ops.knn_pallas import knn_edge_aggregate_v2
+
+    rng = np.random.RandomState(2)
+    b, n, k, h1, h2 = 2, 12, 4, 24, 16
+    u1 = jnp.asarray(rng.randn(b, n, h1).astype(np.float32) * 0.3)
+    u2m = jnp.asarray(rng.randn(b, n, h1 + 1).astype(np.float32) * 0.3)
+    idx = jnp.asarray(rng.randint(0, n, size=(b, n, k)).astype(np.int32))
+    dists = jnp.asarray(rng.rand(b, n, k).astype(np.float32))
+    w_d = jnp.asarray(rng.randn(h1).astype(np.float32) * 0.2)
+    hidden = (
+        jnp.asarray(rng.randn(h1, h2).astype(np.float32) * 0.2),
+        jnp.asarray(rng.randn(h2).astype(np.float32) * 0.2),
+    )
+    seed = jnp.asarray(5.0)
+
+    def f(u1, u2m, dists, w_d, hidden, need):
+        out = knn_edge_aggregate_v2(
+            u1, u2m, idx, dists, w_d, hidden, seed, 0.2, True, 0.5, need
+        )
+        return jnp.sum(jnp.sin(out))
+
+    g_full = jax.grad(f, argnums=(0, 1, 2, 3, 4))(u1, u2m, dists, w_d, hidden, True)
+    g_skip = jax.grad(f, argnums=(0, 1, 2, 3, 4))(u1, u2m, dists, w_d, hidden, False)
+    for a, bb in zip(g_full[:3], g_skip[:3]):  # du1, du2m, ddists identical
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+    assert not np.any(np.asarray(g_skip[3]))  # dw_d zero
+    for d in jax.tree.leaves(g_skip[4]):  # hidden weight cotangents zero
+        assert not np.any(np.asarray(d))
+    assert np.any(np.asarray(g_full[3]))
+    assert any(np.any(np.asarray(d)) for d in jax.tree.leaves(g_full[4]))
+
+
 def test_knn_select_matches_xla_search():
     """The Pallas selection kernel picks the exact k-smallest sender set the
     XLA search (approx_max_k at recall 1.0) picks, for self-loop and

@@ -145,6 +145,36 @@ def test_fused_dropout():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_need_wgrads_false_skips_weight_grads_keeps_input_grads():
+    """``need_wgrads=False`` (the G-step hint, mp.skip_weight_grads) must
+    leave input gradients bit-identical while returning exact zeros for the
+    hidden-layer weight cotangents — in both blocking modes (n=30 jets-mode,
+    n=40/b=2 forward-jets/backward-receiver split)."""
+    for b, n in ((4, 30), (2, 40)):
+        rng = np.random.RandomState(11)
+        h1, h2 = 24, 16
+        u1 = jnp.asarray(rng.randn(b, n, h1).astype(np.float32))
+        u2 = jnp.asarray(rng.randn(b, n, h1).astype(np.float32))
+        mask = jnp.asarray((rng.rand(b, n, 1) > 0.3).astype(np.float32))
+        hidden = (
+            jnp.asarray(rng.randn(h1, h2).astype(np.float32) * 0.2),
+            jnp.asarray(rng.randn(h2).astype(np.float32) * 0.2),
+        )
+        seed = jnp.asarray(3.0)
+
+        def f(u1, u2, mask, hidden, need):
+            out = mpp.edge_aggregate(u1, u2, mask, hidden, seed, 0.2, True, 8, 0.5, need)
+            return jnp.sum(jnp.sin(out))
+
+        g_full = jax.grad(f, argnums=(0, 1, 2, 3))(u1, u2, mask, hidden, True)
+        g_skip = jax.grad(f, argnums=(0, 1, 2, 3))(u1, u2, mask, hidden, False)
+        for a, bb in zip(g_full[:3], g_skip[:3]):  # du1, du2, dmask identical
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+        for d in jax.tree.leaves(g_skip[3]):  # weight cotangents exact zeros
+            assert not np.any(np.asarray(d))
+        assert any(np.any(np.asarray(d)) for d in jax.tree.leaves(g_full[3]))
+
+
 def test_fused_dropout_grad_replay_cross_mode():
     """Finite-difference gradient check with dropout: the backward must
     replay the forward's masks exactly even when fwd and bwd pick different

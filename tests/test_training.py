@@ -103,6 +103,45 @@ def _fake_batch(rng, batch, n):
     return jnp.asarray(data), jnp.asarray(labels)
 
 
+@pytest.mark.kernel
+def test_train_steps_pallas_matches_jnp():
+    """Full D+G steps with the fused Pallas kernels (interpret mode on CPU)
+    must produce the same parameter updates as the jnp path — in particular
+    the G step, whose backward through D runs the need_wgrads=False
+    specialized kernel (mp.skip_weight_grads): D's weight cotangents are
+    discarded there, so skipping them must not change any update."""
+    import dataclasses
+
+    states = {}
+    for pallas in (False, True):
+        g_cfg, d_cfg = _tiny_gan(n=10, hidden=8, dropout=0.0)
+        g_cfg = dataclasses.replace(g_cfg, use_pallas=pallas)
+        d_cfg = dataclasses.replace(d_cfg, use_pallas=pallas)
+        spec = NoiseSpec((10, 8), 0.2)
+        g_opt = build_optimizer("rmsprop", 1e-4)
+        d_opt = build_optimizer("rmsprop", 3e-4)
+        state = init_train_state(
+            jax.random.PRNGKey(0), mp_generator_init, mp_discriminator_init,
+            g_cfg, d_cfg, g_opt, d_opt,
+        )
+        d_step, g_step = make_train_steps(
+            step_cfg=StepConfig(loss="ls"),
+            g_apply=mp_generator_apply, d_apply=mp_discriminator_apply,
+            g_cfg=g_cfg, d_cfg=d_cfg, spec=spec, g_opt=g_opt, d_opt=d_opt,
+        )
+        data, labels = _fake_batch(np.random.RandomState(0), 8, 10)
+        for _ in range(2):
+            state, _ = jax.jit(d_step)(state, data, labels)
+            state, _ = jax.jit(g_step)(state, data, labels)
+        states[pallas] = state
+
+    for a, b in zip(
+        jax.tree.leaves((states[True].g_params, states[True].d_params)),
+        jax.tree.leaves((states[False].g_params, states[False].d_params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
 @pytest.mark.parametrize("loss,gp", [("ls", 0.0), ("og", 0.0), ("hinge", 0.0), ("w", 10.0)])
 def test_train_steps_run(loss, gp):
     state, d_step, g_step, n = _make_everything(loss=loss, gp=gp)
