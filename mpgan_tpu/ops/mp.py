@@ -279,6 +279,36 @@ def _fe_weights_sn(cfg: MPLayerConfig, params, state, update_sn):
     return weights, new_fe_state
 
 
+def _decompose_first_layer(
+    cfg: MPLayerConfig, weights, x, labels, num_jet_particles, extract_wd: bool = False
+):
+    """Split fe layer 1 into receiver/sender embeddings for the fused kernels.
+
+    W1 columns follow the pair-row layout ``[x_recv | x_send | dists? |
+    clabels | njp]`` (mpgan/model.py:372-376 plus the conditioning appends);
+    the bias and every per-jet conditioning term fold into the sender
+    embedding. Returns ``(u1, u2, w_d)``: receiver embeddings ``[B, N, H1]``,
+    sender embeddings ``[B, N, H1]`` (bias + conditioning folded), and the
+    dists weight column ``[H1]`` when ``extract_wd`` (else None)."""
+    f = cfg.input_node_size
+    w1, b1 = weights[0]
+    u1 = x @ w1[:, :f].T
+    bias = jnp.broadcast_to(b1, (x.shape[0], b1.shape[0]))
+    col = 2 * f
+    w_d = None
+    if extract_wd:
+        w_d = w1[:, col]
+        col += 1
+    if cfg.clabels:
+        bias = bias + labels[:, : cfg.clabels].astype(x.dtype) @ w1[:, col : col + cfg.clabels].T
+        col += cfg.clabels
+    if cfg.mask_fne_np:
+        njp = num_jet_particles.astype(x.dtype).reshape(-1, 1)
+        bias = bias + njp @ w1[:, col : col + 1].T
+    u2 = x @ w1[:, f : 2 * f].T + bias[:, None, :]
+    return u1, u2, w_d
+
+
 def _mp_layer_apply_fused(
     cfg: MPLayerConfig,
     params: dict,
@@ -304,18 +334,7 @@ def _mp_layer_apply_fused(
         block_receivers = int(os.environ.get("MPGAN_TPU_BLOCK_RECEIVERS", "32"))
 
     weights, fe_state = _fe_weights_sn(cfg, params, state, update_sn)
-    f = cfg.input_node_size
-    w1, b1 = weights[0]
-    u1 = x @ w1[:, :f].T
-    bias = jnp.broadcast_to(b1, (x.shape[0], b1.shape[0]))
-    col = 2 * f
-    if cfg.clabels:
-        bias = bias + labels[:, : cfg.clabels].astype(x.dtype) @ w1[:, col : col + cfg.clabels].T
-        col += cfg.clabels
-    if cfg.mask_fne_np:
-        njp = num_jet_particles.astype(x.dtype).reshape(-1, 1)
-        bias = bias + njp @ w1[:, col : col + 1].T
-    u2 = x @ w1[:, f : 2 * f].T + bias[:, None, :]
+    u1, u2, _ = _decompose_first_layer(cfg, weights, x, labels, num_jet_particles)
     hidden_flat = tuple(p for w, b in weights[1:] for p in (w.T, b))
     m = mask if mask is not None else jnp.ones(x.shape[:2] + (1,), x.dtype)
     dropout_p = cfg.fe.dropout_p if train else 0.0
@@ -403,29 +422,11 @@ def _mp_layer_apply_fused_knn(
         ).astype(jnp.float32)
 
     if os.environ.get("MPGAN_TPU_KNN_KERNEL", "2") != "1":
-        # v2: first-layer decomposition (dense-kernel style). W1 columns
-        # follow the pair-row layout [x_recv | x_send | dists? | clabels |
-        # njp] (mpgan/model.py:372-376 + conditioning appends)
-        f = cfg.input_node_size
-        w1, b1 = weights[0]
-        u1 = x @ w1[:, :f].T
-        bias = jnp.broadcast_to(b1, (x.shape[0], b1.shape[0]))
-        col = 2 * f
-        w_d = None
-        if cfg.pos_diffs:
-            w_d = w1[:, col]
-            col += 1
-        if cfg.clabels:
-            bias = bias + labels[:, : cfg.clabels].astype(x.dtype) @ w1[
-                :, col : col + cfg.clabels
-            ].T
-            col += cfg.clabels
-        if cfg.mask_fne_np:
-            njp = num_jet_particles.astype(x.dtype).reshape(-1, 1)
-            bias = bias + njp @ w1[:, col : col + 1].T
-        u2m = jnp.concatenate(
-            [x @ w1[:, f : 2 * f].T + bias[:, None, :], m.astype(x.dtype)], axis=-1
+        # v2: first-layer decomposition (dense-kernel style)
+        u1, u2, w_d = _decompose_first_layer(
+            cfg, weights, x, labels, num_jet_particles, extract_wd=cfg.pos_diffs
         )
+        u2m = jnp.concatenate([u2, m.astype(x.dtype)], axis=-1)
         hidden_flat = tuple(p for w, bb in weights[1:] for p in (w.T, bb))
         agg = knn_edge_aggregate_v2(
             u1, u2m, idx, dists, w_d, hidden_flat, seed,
@@ -474,6 +475,18 @@ def mp_layer_apply(
     ``use_pallas=None`` auto-selects: the fused kernel on TPU, the jnp path
     elsewhere (the kernel only runs interpreted off-TPU).
     """
+    if not cfg.fully_connected and cfg.num_ef > 1:
+        # knn pair rows carry at most the dists column — delta_coords diff
+        # columns exist only in the fully-connected build, in the reference
+        # too (mpgan/model.py:372-381 vs 297-311), so fe's declared input
+        # size can never match. The jnp/v1 paths would fail with an opaque
+        # dot shape error and the v2 kernel's W1 column decomposition would
+        # silently read the wrong slices; fail loudly up front instead.
+        raise ValueError(
+            f"knn MP layers support at most the [dists] edge feature "
+            f"(num_ef<=1); got num_ef={cfg.num_ef} "
+            f"(pos_diffs={cfg.pos_diffs}, delta_coords={cfg.delta_coords})"
+        )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and fused_eligible(cfg, train):

@@ -135,7 +135,7 @@ def test_knn_v2_matches_v1_with_dropout(monkeypatch):
     labels = jnp.asarray(rng.rand(2, 2).astype(np.float32))
     njp = jnp.sum(mask, axis=(1, 2)) / 16
 
-    def run(version, diff_wrt="params"):
+    def run(version):
         monkeypatch.setenv("MPGAN_TPU_KNN_KERNEL", version)
 
         def f(p, xx):

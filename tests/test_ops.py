@@ -103,3 +103,26 @@ def test_mlp_dropout_and_bn():
     assert not np.allclose(
         np.asarray(state["bn"][0]["mean"]), np.asarray(new_state["bn"][0]["mean"])
     )
+
+
+def test_knn_delta_coords_rejected_loudly():
+    """knn + delta_coords is an invalid layout everywhere — the reference's
+    _getA_knn emits only the dists column (mpgan/model.py:372-381) while
+    fe's declared input counts the diff columns (model.py:173-187), so it
+    can never run. mp_layer_apply must reject it up front with a clear
+    error on every path (the fused v2 kernel's first-layer column
+    decomposition would otherwise silently read wrong W1 slices)."""
+    from mpgan_tpu.ops.mp import MPLayerConfig, mp_layer_apply, mp_layer_init
+
+    cfg = MPLayerConfig.build(
+        4, [8], [8], 4, fully_connected=False, num_knn=3,
+        pos_diffs=True, delta_coords=True, clabels=1,
+    )
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 4))
+    labels = jnp.ones((2, 1))
+    for use_pallas in (True, False):
+        with pytest.raises(ValueError, match="num_ef"):
+            mp_layer_apply(
+                cfg, params, state, x, labels=labels, use_pallas=use_pallas
+            )
