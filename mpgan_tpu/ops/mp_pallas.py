@@ -211,7 +211,14 @@ def _edge_aggregate_fwd_impl(
     b_sz, n, h1 = u1.shape
     num_layers = len(hidden) + 1
     h_out = hidden[-1][0].shape[1] if hidden else h1
-    jb = _pick_jb(b_sz, n, min(8, max(1, 4096 // (n * n)))) if n <= 64 else 1
+    # ~16k rows per program, cap 16 jets, and keep >=64 programs in flight
+    # (floor 4 so small batches stay on this jets-mode kernel): swept on
+    # hardware at n=30 — B=4096 gen: jb 2/4/8/16/32/64 ->
+    # 323/327/336/340/339/308 k jets/s (>=64 blows VMEM); at the train
+    # step's B=256 a 16-jet block starves the grid, and 4 was best there
+    # (though within the tunnel's run-to-run noise)
+    jb_target = min(16, max(1, 16384 // (n * n)), max(4, b_sz // 64))
+    jb = _pick_jb(b_sz, n, jb_target) if n <= 64 else 1
 
     ns = _pad_senders(n)
     if ns != n:
@@ -410,8 +417,13 @@ def _bwd_kernel_jets(num_layers, alpha, sum_agg, jb, n, ns, dropout_p, need_wgra
 def _pick_jb(b_sz: int, n: int, block_jets: int) -> int:
     """Largest power-of-two jet block <= block_jets that divides the batch
     (padded jets would contaminate the accumulated weight grads).
-    ``MPGAN_TPU_BLOCK_JETS`` overrides the target for experiments."""
-    block_jets = int(os.environ.get("MPGAN_TPU_BLOCK_JETS", block_jets))
+    ``MPGAN_TPU_BLOCK_JETS`` overrides the target for experiments (read at
+    trace time; non-integer values fall back to the formula, same contract
+    as ``knn_pallas._block_receivers``)."""
+    try:
+        block_jets = int(os.environ.get("MPGAN_TPU_BLOCK_JETS", block_jets))
+    except ValueError:
+        pass
     jb = 1
     while jb * 2 <= block_jets and b_sz % (jb * 2) == 0:
         jb *= 2
@@ -574,8 +586,10 @@ def _edge_aggregate_bwd_impl(
     b_sz, n, h1 = u1.shape
     num_layers = len(hidden) + 1
     h_out = hidden[-1][0].shape[1] if hidden else h1
-    # backward holds all layer activations live; halve the jet block
-    jb = _pick_jb(b_sz, n, min(4, max(1, 2048 // (n * n)))) if n <= 64 else 1
+    # backward holds all layer activations live, so its optimum is smaller:
+    # swept at n=30/B=256 (both-targets 4/8/16 -> 14.14/14.83/16.16 ms vs
+    # 14.8 at the old fwd4/bwd2 default)
+    jb = _pick_jb(b_sz, n, min(4, max(1, 4096 // (n * n)))) if n <= 64 else 1
 
     ns = _pad_senders(n)
     if ns != n:
