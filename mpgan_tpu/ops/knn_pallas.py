@@ -362,8 +362,12 @@ def _bwd_kernel(
 
 def _block_receivers(n: int, k: int) -> int:
     """Receivers per program: must divide n (padding would corrupt
-    accumulated grads) with 8-aligned row blocks; fall back to the whole
-    jet (full-array blocks are always legal).
+    accumulated grads), with both the pair-row blocks ``[tr*k, ...]`` AND
+    the receiver-axis blocks ``[tr, lanes]`` (xr/u1/du1/out in every gather
+    kernel) satisfying Mosaic's block rule — the second-to-last block dim
+    must be a multiple of 8 or equal the array dim. At n=150 no proper
+    divisor is a multiple of 8, so the whole jet is the only legal block
+    and the sweep knob degrades to n instead of crashing mid-trace.
     ``MPGAN_TPU_KNN_ROW_TARGET`` overrides the row target for sweeps (read
     at trace time — compiled steps cache the first value per shape, so
     sweep in separate processes)."""
@@ -375,7 +379,7 @@ def _block_receivers(n: int, k: int) -> int:
         target = 4096
     limit = max(1, target // k)
     for tr in range(min(n, limit), 0, -1):
-        if n % tr == 0 and (tr * k) % 8 == 0:
+        if n % tr == 0 and (tr * k) % 8 == 0 and (tr % 8 == 0 or tr == n):
             return tr
     return n
 

@@ -281,3 +281,19 @@ def test_fused_knn_coords_only_selection():
     y_ref, _ = mp_layer_apply(cfg, params, state, x, mask=mask, use_pallas=False)
     y_fused, _ = mp_layer_apply(cfg, params, state, x, mask=mask, use_pallas=True)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), rtol=5e-4, atol=1e-5)
+
+
+def test_block_receivers_respects_mosaic_sublane_constraint(monkeypatch):
+    """Every knn gather kernel carries [tr, lanes] receiver-axis blocks
+    (xr/u1/du1/out), which Mosaic only accepts when tr % 8 == 0 or tr == n.
+    The picker used to guarantee only (tr*k) % 8 == 0, so a sweep override
+    like ROW_TARGET=1024 at n=150 picked tr=50 and crashed the v2 kernel
+    mid-trace on hardware; it must degrade to the whole jet instead."""
+    from mpgan_tpu.ops.knn_pallas import _block_receivers
+
+    monkeypatch.setenv("MPGAN_TPU_KNN_ROW_TARGET", "1024")
+    assert _block_receivers(150, 20) == 150  # tr=50 is illegal, fall back
+    assert _block_receivers(128, 20) == 32  # legal 8-aligned block honored
+    monkeypatch.delenv("MPGAN_TPU_KNN_ROW_TARGET")
+    tr = _block_receivers(150, 20)
+    assert tr == 150 or tr % 8 == 0
