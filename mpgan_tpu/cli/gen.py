@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main(argv: list[str] | None = None) -> None:
+    from . import pin_platform
+
+    pin_platform()
     import jax
 
     from ..data.normalize import FPND_FEATURE_MAXES

@@ -39,6 +39,9 @@ def _reload_args_on_resume(args):
 
 
 def main(argv: list[str] | None = None) -> None:
+    from . import pin_platform
+
+    pin_platform()
     from ..cli.args import parse_cli
     from ..data.jetnet import JetNetDataset
     from ..training.loop import Trainer

@@ -14,6 +14,9 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> None:
+    from . import pin_platform
+
+    pin_platform()
     from ..cli.args import parse_cli
     from ..data.mnist import MNISTGraphDataset
     from ..training.mnist_loop import MNISTDatasetView, MNISTTrainer

@@ -26,6 +26,13 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            # silently truncating would hand the user a smaller mesh than
+            # --mesh-shape asked for (and flip divisibility gates elsewhere)
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), axis_names=("data",))
 
@@ -74,10 +81,6 @@ def jit_step(
     state replicated (and donated), batch args sharded on axis 0."""
     rep = replicated_spec(mesh)
     shard = shard_batch_spec(mesh)
-
-    def spec_for_batch_arg(x):
-        return shard
-
     in_shardings = (rep,) + tuple([shard] * num_batch_args)
     out_shardings = (rep, rep)
     return jax.jit(

@@ -91,7 +91,22 @@ class Trainer:
         if self.start_epoch == 0:
             (self.out_dir / f"{args.name}_args.txt").write_text(str(args.to_dict()))
 
+        # NOTE: this gate mirrors the reference's use_mask at eval
+        # (train.py:703: mask_c or clabels or gapt_mask) — it decides label
+        # conditioning AND whether gen_jet_corrections strips a mask channel,
+        # independently of args.mask. Reference parity, quirk included.
         self.use_labels = bool(args.get("mask_c") or args.clabels or args.get("gapt_mask"))
+
+        # stable eval post-generation hook: the compiled eval sampler is
+        # cached by post_fn identity (sampling._cached_scan_all), so this
+        # must NOT be rebuilt per eval call
+        if self.suite.decode_eval is not None:
+            self._eval_post_fn = self.suite.decode_eval
+        elif self.suite.post_gen is not None:
+            post_gen = self.suite.post_gen
+            self._eval_post_fn = lambda out, point_noise: post_gen(out)
+        else:
+            self._eval_post_fn = None
 
         g_opt = build_optimizer(
             args.optimizer, args.lr_gen, beta1=args.beta1, beta2=args.beta2
@@ -150,6 +165,7 @@ class Trainer:
         self._d_step_fn, self._g_step_fn = d_step, g_step  # raw (unjitted)
         self._epoch_scan = None
         self._staged = None  # (device data, device labels)
+        self._staged_loader = None  # loader the staging came from
         if mesh is not None:
             # per-shard execution via shard_map: the fused Pallas kernels run
             # locally on every chip, gradients pmean over ICI
@@ -326,7 +342,10 @@ class Trainer:
         num_batches = len(loader)
         if self._epoch_scan is None:
             self._epoch_scan = self._build_epoch_scan()
-        if self._staged is None:
+        if self._staged is None or self._staged_loader is not loader:
+            # re-stage when a different loader is passed (train_epoch is a
+            # public API): gathering a new loader's indices from the first
+            # loader's staged arrays would silently train on stale data
             if self._mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -341,6 +360,7 @@ class Trainer:
                 else None
             )
             self._staged = (data, labels)
+            self._staged_loader = loader
         data, labels = self._staged
         perm = jax.numpy.asarray(loader.epoch_batch_indices())
         ndx = np.arange(num_batches)
@@ -359,6 +379,11 @@ class Trainer:
 
     def train_epoch(self, epoch: int, loader: BatchLoader) -> dict[str, float]:
         args = self.args
+        if len(loader) == 0:
+            raise ValueError(
+                f"training dataset ({loader.n} samples) is smaller than the "
+                f"batch size ({loader.batch_size}): no full batch to train on"
+            )
         if self._can_scan_epoch(loader):
             epoch_loss = self._scan_epoch(loader)
             num_batches = len(loader)
@@ -474,11 +499,7 @@ class Trainer:
         )
 
         labels = ds.jet_data[sel] if self.use_labels else None
-        post_fn = None
-        if self.suite.decode_eval is not None:
-            post_fn = self.suite.decode_eval
-        elif self.suite.post_gen is not None:
-            post_fn = lambda out, point_noise: self.suite.post_gen(out)  # noqa: E731
+        post_fn = self._eval_post_fn
         gen_norm = generate_multi_batch(
             self.suite.g_apply, self.suite.g_cfg,
             self.state.g_params, self.state.g_state,
@@ -607,6 +628,13 @@ class Trainer:
                 self.eval_save_plot(epoch)
             elif epoch % args.save_model_epochs == 0:
                 ckpt.save_train_state(ckpt.checkpoint_path(self.models_dir, epoch), self.state)
+                # keep loss histories aligned with whichever snapshot
+                # latest_epoch() discovers on resume: without this, resuming
+                # from a model-only checkpoint (save_model_epochs <
+                # save_epochs) would replay from an epoch whose train losses
+                # were never persisted, shifting every later index. The
+                # reference writes losses every epoch (train.py:538-540).
+                ckpt.save_losses(self.losses, self.losses_dir)
 
 
 def _corrected(unnorm: np.ndarray, use_mask: bool, **kwargs):

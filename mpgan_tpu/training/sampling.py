@@ -84,6 +84,69 @@ def generate(
     return out
 
 
+# Compiled samplers, keyed on everything burned into the trace. params/state
+# are jit ARGUMENTS (not closure constants), so repeated eval-time calls with
+# fresh weights reuse one compiled program instead of retracing the whole
+# generator scan every save_epochs. Identity-keyed objects are kept alive by
+# the cache entry itself so their ids cannot be reused.
+_SAMPLER_CACHE: dict = {}
+
+
+def _cached_scan_all(g_apply, g_cfg, spec, batch_size, post_fn, mesh, kwargs_items, has_labels):
+    key = (
+        id(g_apply), id(g_cfg), id(post_fn), id(mesh),
+        spec, batch_size, kwargs_items, has_labels,
+    )
+    hit = _SAMPLER_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    apply_kwargs = dict(kwargs_items)
+
+    def _batch(params, state, key, batch_labels):
+        noise, point_noise = spec.sample(key, batch_size)
+        if mesh is not None:
+            shard = batch_size // mesh.size
+            start = jax.lax.axis_index("data") * shard
+            noise = jax.lax.dynamic_slice_in_dim(noise, start, shard, axis=0)
+            if point_noise is not None:
+                point_noise = jax.lax.dynamic_slice_in_dim(point_noise, start, shard, axis=0)
+        out, _ = g_apply(g_cfg, params, state, noise, batch_labels, train=False, **apply_kwargs)
+        if post_fn is not None:
+            out = post_fn(out, point_noise)
+        return out
+
+    if has_labels:
+        def _scan_all(params, state, keys, labels_all):
+            return jax.lax.scan(
+                lambda _, x: (0, _batch(params, state, x[0], x[1])), 0, (keys, labels_all)
+            )[1]
+    else:
+        def _scan_all(params, state, keys):
+            return jax.lax.scan(
+                lambda _, k: (0, _batch(params, state, k, None)), 0, keys
+            )[1]
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        # params/state/keys replicated; labels + outputs sharded per batch
+        in_specs = (P(), P(), P(), P(None, "data")) if has_labels else (P(), P(), P())
+        fn = jax.jit(
+            jax.shard_map(
+                _scan_all, mesh=mesh,
+                in_specs=in_specs, out_specs=P(None, "data"),
+                check_vma=False,
+            )
+        )
+    else:
+        fn = jax.jit(_scan_all)
+
+    if len(_SAMPLER_CACHE) >= 16:
+        _SAMPLER_CACHE.pop(next(iter(_SAMPLER_CACHE)))
+    _SAMPLER_CACHE[key] = (fn, g_apply, g_cfg, post_fn, mesh)
+    return fn
+
+
 def generate_multi_batch(
     g_apply: GenApply,
     g_cfg: Any,
@@ -100,7 +163,9 @@ def generate_multi_batch(
 ) -> np.ndarray:
     """Batched generation (train.py:226-282): fixed-size jitted batches, the
     final partial batch over-generates and is truncated. ``post_fn`` applies
-    post-generation hooks (mask_manual, PCGAN point decoding) inside the jit.
+    post-generation hooks (mask_manual, PCGAN point decoding) inside the jit;
+    pass a STABLE callable — the compiled sampler is cached by its identity,
+    so a lambda built per call forces a fresh compile each time.
 
     With ``mesh`` set the scan runs under ``shard_map`` over the ``data``
     axis: each chip generates its contiguous ``batch_size / n_dev`` rows of
@@ -114,42 +179,12 @@ def generate_multi_batch(
     if mesh is not None and batch_size % mesh.size != 0:
         mesh = None  # batch not divisible across chips: single-device fallback
 
-    def _batch(key, batch_labels):
-        noise, point_noise = spec.sample(key, batch_size)
-        if mesh is not None:
-            shard = batch_size // mesh.size
-            start = jax.lax.axis_index("data") * shard
-            noise = jax.lax.dynamic_slice_in_dim(noise, start, shard, axis=0)
-            if point_noise is not None:
-                point_noise = jax.lax.dynamic_slice_in_dim(point_noise, start, shard, axis=0)
-        out, _ = g_apply(g_cfg, params, state, noise, batch_labels, train=False, **apply_kwargs)
-        if post_fn is not None:
-            out = post_fn(out, point_noise)
-        return out
-
     num_batches = (num_samples + batch_size - 1) // batch_size
     keys = jax.random.split(rng, num_batches)
-
-    def _scan_all(keys, labels_all):
-        if labels_all is not None:
-            return jax.lax.scan(
-                lambda _, x: (0, _batch(x[0], x[1])), 0, (keys, labels_all)
-            )[1]
-        return jax.lax.scan(lambda _, k: (0, _batch(k, None)), 0, keys)[1]
-
-    if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-
-        # keys replicated; labels + outputs sharded on the per-batch axis
-        _all = jax.jit(
-            jax.shard_map(
-                _scan_all, mesh=mesh,
-                in_specs=(P(), P(None, "data")), out_specs=P(None, "data"),
-                check_vma=False,
-            )
-        )
-    else:
-        _all = jax.jit(_scan_all)
+    _all = _cached_scan_all(
+        g_apply, g_cfg, spec, batch_size, post_fn, mesh,
+        tuple(sorted(apply_kwargs.items())), labels is not None,
+    )
 
     # all batches ride ONE lax.scan dispatch with a single host fetch at the
     # end — a host loop with a per-batch np.asarray sync pays a full
@@ -164,8 +199,8 @@ def generate_multi_batch(
                 num_batches, batch_size, *labels.shape[1:]
             )
         )
-        outs = _all(keys, labels_all)
+        outs = _all(params, state, keys, labels_all)
     else:
-        outs = _all(keys, None)
+        outs = _all(params, state, keys)
     out = np.asarray(outs)
     return out.reshape(num_batches * batch_size, *out.shape[2:])[:num_samples]

@@ -350,3 +350,39 @@ def test_bf16_train_step_keeps_f32_master_and_tracks_f32_dynamics():
     w_f32 = np.asarray(states[False].g_params["mp_layers"][0]["fe"]["layers"][0]["w"])
     w_bf16 = np.asarray(states[True].g_params["mp_layers"][0]["fe"]["layers"][0]["w"])
     np.testing.assert_allclose(w_bf16, w_f32, rtol=0.1, atol=1e-4)
+
+
+def test_generate_multi_batch_compiles_once_for_fresh_params():
+    """The compiled sampler is cached with params/state as jit ARGUMENTS: a
+    second same-shape call with different weights must not retrace (it used
+    to rebuild the jit closure per call with params baked in as constants,
+    recompiling the whole generator scan every eval)."""
+    trace_count = [0]
+
+    def counting_apply(cfg, params, state, noise, labels, train=False, **kw):
+        trace_count[0] += 1
+        return jnp.sin(noise[..., :3] + params["w"]), {}
+
+    spec = NoiseSpec((10, 8), 0.2)
+    out1 = generate_multi_batch(
+        counting_apply, None, {"w": jnp.zeros(())}, {}, spec,
+        jax.random.PRNGKey(0), 20, 8,
+    )
+    n_traces = trace_count[0]
+    assert n_traces >= 1
+    out2 = generate_multi_batch(
+        counting_apply, None, {"w": jnp.full((), 2.0, jnp.float32)}, {}, spec,
+        jax.random.PRNGKey(0), 20, 8,
+    )
+    assert trace_count[0] == n_traces, "same-shape call retraced the sampler"
+    # the fresh params must actually flow through (not stale baked constants)
+    assert not np.allclose(out1, out2)
+
+
+def test_make_mesh_rejects_oversubscription():
+    """--mesh-shape larger than the device count must fail loudly, not
+    silently hand back a smaller mesh."""
+    from mpgan_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(99)
