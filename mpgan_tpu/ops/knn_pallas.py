@@ -957,6 +957,492 @@ def _vjp_bwd_v2(alpha, sum_agg, dropout_p, need_wgrads, res, g):
 knn_edge_aggregate_v2.defvjp(_vjp_fwd_v2, _vjp_bwd_v2)
 
 
+# ---------------------------------------------------------------------------
+# v3: neighbour-major rows — the receiver broadcast and the k-aggregation
+# leave the MXU entirely.
+#
+# v2's skeleton (the kernel with the hidden chain deleted) measured 2.76 ms
+# of its 4.83 ms/layer (scripts/knn_kernel_ablation.py): three one-hot
+# matmuls of comparable padded FLOPs — the sender gather [rows,N]@[N,H1+1],
+# the receiver broadcast [rows,TR]@[TR,H1] and the k-aggregation
+# [TR,rows]@[rows,Hout]. Only the gather is data-dependent. v3 reorders the
+# pair rows neighbour-major (row = s*NP8 + r, receivers padded to the 8-row
+# sublane multiple NP8), so:
+#
+# - the receiver broadcast is k ALIGNED concat copies of u1 (no matmul, no
+#   Mosaic relayout — every group boundary is a multiple of 8),
+# - the k-aggregation is a log2(k)-deep tree of aligned [NP8, Hout] VPU adds,
+# - only the sender gather (and the backward's sender scatter) stays a
+#   one-hot MXU contraction.
+#
+# Dropout masks are keyed on the SAME global (receiver-major) pair ids as
+# v1/v2 — the ids ride an explicit [rows, 1] matrix instead of iota+offset —
+# so all three kernel generations are bit-compatible in expectation and
+# exactly replayable fwd<->bwd. Layout transforms (receiver padding, idx/
+# dists transposition) happen outside the kernel in XLA.
+# ---------------------------------------------------------------------------
+
+
+def _dropmul_ids(shape, dropout_p, seed, salt, ids):
+    """`_dropmul` with an explicit per-row global-pair-id column ``ids``
+    ([rows, 1] uint32) instead of row-iota + scalar offset — same hash, so
+    masks match v1/v2 per (receiver, neighbour) edge regardless of the
+    kernel's row ordering."""
+    keep = 1.0 - dropout_p
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    h = (
+        ids * np.uint32(0x9E3779B1)
+        + cols * np.uint32(0x85EBCA77)
+        + seed.astype(jnp.uint32) * np.uint32(0xC2B2AE3D)
+        + np.uint32((salt * 0x27D4EB2F) & 0xFFFFFFFF)
+    )
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    threshold = np.uint32(min(int(dropout_p * 2**32), 2**32 - 1))
+    return jnp.where(h >= threshold, 1.0 / keep, 0.0)
+
+
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _v3_ids(np8: int, n: int, k: int):
+    """[k*NP8, 1] uint32 global pair ids for neighbour-major rows: row
+    s*NP8 + r carries the v1/v2 receiver-major id jet_off + r*k + s. Dummy
+    receiver rows (r >= n) get out-of-jet ids; their activations are sliced
+    away and their cotangents are exact zeros, so the values are unused."""
+    jet_off = (pl.program_id(0) * (n * k)).astype(jnp.uint32)
+    r_ids = jax.lax.broadcasted_iota(jnp.uint32, (np8, 1), 0) * np.uint32(k)
+    return jnp.concatenate([r_ids + (jet_off + np.uint32(s)) for s in range(k)], axis=0)
+
+
+def _chain_ids(a, wb, num_hidden, alpha, dropout_p, seed, ids, first_salt, n_splits):
+    """`_split_mlp_chain` with id-matrix dropout keys (v3 row ordering)."""
+    part = a.shape[0] // n_splits
+    parts = [a[s * part : (s + 1) * part] for s in range(n_splits)]
+    id_parts = [
+        None if ids is None else ids[s * part : (s + 1) * part] for s in range(n_splits)
+    ]
+    for layer in range(num_hidden):
+        w = wb[2 * layer][:]
+        b = wb[2 * layer + 1][:]
+        zs = [
+            jax.lax.dot_general(
+                p.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for p in parts
+        ]
+        parts = [_leaky(z + b.astype(jnp.float32), alpha) for z in zs]
+        if dropout_p > 0:
+            parts = [
+                p * _dropmul_ids(p.shape, dropout_p, seed, first_salt + layer, i)
+                for p, i in zip(parts, id_parts)
+            ]
+    return jnp.concatenate(parts, axis=0)
+
+
+def _tree_sum_groups(am, k: int, np8: int):
+    """Sum the k aligned [NP8, H] neighbour groups of ``am [k*NP8, H]`` with
+    a pairwise tree of VPU adds (replaces v2's one-hot aggregation matmul)."""
+    parts = [am[s * np8 : (s + 1) * np8] for s in range(k)]
+    while len(parts) > 1:
+        nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
+def _fwd_kernel_v3(num_hidden, alpha, sum_agg, np8, n, k, use_dists, dropout_p, *refs):
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    u1_ref = refs[base]  # [1, NP8, H1] receivers, sublane-padded
+    u2m_ref = refs[base + 1]  # [1, N, H1+1] sender embed + mask col
+    idx_ref = refs[base + 2]  # [1, k*NP8, 1] neighbour-major
+    off = base + 3
+    dists_ref = wd_ref = None
+    if use_dists:
+        dists_ref = refs[off]  # [1, k*NP8, 1]
+        wd_ref = refs[off + 1]  # [1, H1]
+        off += 2
+    wb = refs[off : off + 2 * num_hidden]
+    out_ref = refs[off + 2 * num_hidden]
+
+    seed = seed_ref[0] if dropout_p > 0 else None
+    h1 = u1_ref.shape[2]
+    rows = k * np8
+
+    u2m = u2m_ref[0].astype(jnp.float32)  # [N, H1+1]
+    idx = idx_ref[0]  # [rows, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    onehot_s = (cols == idx).astype(jnp.float32)
+    g2 = jax.lax.dot_general(
+        onehot_s, u2m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [rows, H1+1]
+    u1 = u1_ref[0].astype(jnp.float32)  # [NP8, H1]
+    g1 = jnp.concatenate([u1] * k, axis=0)  # aligned copies, no relayout
+    z1 = g1 + g2[:, :h1]
+    if use_dists:
+        z1 = z1 + dists_ref[0].astype(jnp.float32) * wd_ref[:].astype(jnp.float32)
+    smask = g2[:, h1 : h1 + 1]
+
+    ids = _v3_ids(np8, n, k) if dropout_p > 0 else None
+    a = _leaky(z1, alpha)
+    if dropout_p > 0:
+        a = a * _dropmul_ids(a.shape, dropout_p, seed, 0, ids)
+    a = _chain_ids(a, wb, num_hidden, alpha, dropout_p, seed, ids, 1, _pick_splits(rows))
+    am = a * smask
+    agg = _tree_sum_groups(am, k, np8)  # [NP8, H_out]
+    if not sum_agg:
+        agg = agg / k
+    out_ref[0] = agg.astype(out_ref.dtype)
+
+
+def _bwd_kernel_v3(num_hidden, alpha, sum_agg, np8, n, k, use_dists, dropout_p,
+                   need_wgrads, *refs):
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    u1_ref = refs[base]
+    u2m_ref = refs[base + 1]
+    idx_ref = refs[base + 2]
+    off = base + 3
+    dists_ref = wd_ref = None
+    if use_dists:
+        dists_ref = refs[off]
+        wd_ref = refs[off + 1]
+        off += 2
+    wb = refs[off : off + 2 * num_hidden]
+    g_ref = refs[off + 2 * num_hidden]  # [1, NP8, H_out] (zero-padded rows)
+    off2 = off + 2 * num_hidden + 1
+    du1_ref = refs[off2]  # [1, NP8, H1]
+    du2_ref = refs[off2 + 1]  # [1, N, H1] (jet-exclusive: grid is (B,))
+    dmask_ref = refs[off2 + 2]  # [1, N, 1]
+    off2 += 3
+    ddists_ref = dwd_ref = None
+    if use_dists:
+        ddists_ref = refs[off2]  # [1, k*NP8, 1]
+        dwd_ref = refs[off2 + 1]  # [1, H1] accumulated over jets
+        off2 += 2
+    dwb = refs[off2:]
+
+    seed = seed_ref[0] if dropout_p > 0 else None
+    h1 = u1_ref.shape[2]
+    rows = k * np8
+    is_first = pl.program_id(0) == 0
+
+    @pl.when(is_first)
+    def _():
+        for r in dwb:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+        if dwd_ref is not None:
+            dwd_ref[:] = jnp.zeros(dwd_ref.shape, dwd_ref.dtype)
+
+    # ---- recompute forward (two interleaved half-row chains, as v1/v2)
+    u2m = u2m_ref[0].astype(jnp.float32)
+    idx = idx_ref[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    onehot_s = (cols == idx).astype(jnp.float32)
+    g2 = jax.lax.dot_general(
+        onehot_s, u2m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    u1 = u1_ref[0].astype(jnp.float32)
+    g1 = jnp.concatenate([u1] * k, axis=0)
+    z1 = g1 + g2[:, :h1]
+    if use_dists:
+        z1 = z1 + dists_ref[0].astype(jnp.float32) * wd_ref[:].astype(jnp.float32)
+    smask = g2[:, h1 : h1 + 1]
+
+    half = rows // 2
+    ids = _v3_ids(np8, n, k) if dropout_p > 0 else None
+    id_halves = [None, None] if ids is None else [ids[:half], ids[half:]]
+    pre1 = [z1[:half], z1[half:]]
+    a1 = [_leaky(c, alpha) for c in pre1]
+    if dropout_p > 0:
+        a1 = [
+            c * _dropmul_ids(c.shape, dropout_p, seed, 0, i)
+            for c, i in zip(a1, id_halves)
+        ]
+    acts = [a1]
+    pre = [pre1]
+    cur = a1
+    for layer in range(num_hidden):
+        w = wb[2 * layer][:]
+        b = wb[2 * layer + 1][:]
+        zs = [
+            jax.lax.dot_general(
+                c.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b.astype(jnp.float32)
+            for c in cur
+        ]
+        pre.append(zs)
+        cur = [_leaky(z, alpha) for z in zs]
+        if dropout_p > 0:
+            cur = [
+                c * _dropmul_ids(c.shape, dropout_p, seed, layer + 1, i)
+                for c, i in zip(cur, id_halves)
+            ]
+        acts.append(cur)
+
+    # ---- backward
+    g = g_ref[0].astype(jnp.float32)  # [NP8, H_out]
+    if not sum_agg:
+        g = g / k
+    g_rows = jnp.concatenate([g] * k, axis=0)  # aligned copies
+    a_last = jnp.concatenate(acts[-1], axis=0)
+    dsmask = jnp.sum(a_last * g_rows, axis=1, keepdims=True)  # [rows, 1]
+    da_full = g_rows * smask
+    das = [da_full[:half], da_full[half:]]
+
+    for layer in range(num_hidden - 1, -1, -1):
+        if dropout_p > 0:
+            das = [
+                d * _dropmul_ids(d.shape, dropout_p, seed, layer + 1, i)
+                for d, i in zip(das, id_halves)
+            ]
+        dzs = [d * _dleaky(pre[layer + 1][h], alpha) for h, d in enumerate(das)]
+        w = wb[2 * layer][:].astype(jnp.float32)
+        if need_wgrads:
+            for h in (0, 1):
+                dwb[2 * layer][:] += jax.lax.dot_general(
+                    acts[layer][h], dzs[h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dwb[2 * layer].dtype)
+            dwb[2 * layer + 1][:] += (
+                jnp.sum(dzs[0], axis=0) + jnp.sum(dzs[1], axis=0)
+            ).astype(dwb[2 * layer + 1].dtype)
+        das = [
+            jax.lax.dot_general(
+                dz, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            for dz in dzs
+        ]
+
+    if dropout_p > 0:
+        das = [
+            d * _dropmul_ids(d.shape, dropout_p, seed, 0, i)
+            for d, i in zip(das, id_halves)
+        ]
+    dz1 = jnp.concatenate(
+        [d * _dleaky(pre1[h], alpha) for h, d in enumerate(das)], axis=0
+    )  # [rows, H1]
+
+    du1_ref[0] = _tree_sum_groups(dz1, k, np8).astype(du1_ref.dtype)
+    du2_ref[0] = jax.lax.dot_general(
+        onehot_s, dz1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(du2_ref.dtype)
+    dmask_ref[0] = jax.lax.dot_general(
+        onehot_s, dsmask, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dmask_ref.dtype)
+    if use_dists:
+        ddists_ref[0] = jnp.sum(
+            dz1 * wd_ref[:].astype(jnp.float32), axis=1, keepdims=True
+        ).astype(ddists_ref.dtype)
+        if need_wgrads:
+            dwd_ref[:] += jax.lax.dot_general(
+                dists_ref[0].astype(jnp.float32), dz1, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dwd_ref.dtype)
+
+
+def _v3_operands(u1, u2m, idx, dists):
+    """XLA-side layout transform to neighbour-major rows: pad receivers to
+    the sublane multiple and transpose idx/dists [B,N,k] -> [B, k*NP8, 1]."""
+    b_sz, n, _ = u1.shape
+    k = idx.shape[-1]
+    np8 = _pad8(n)
+    if np8 > n:
+        u1 = jnp.pad(u1, ((0, 0), (0, np8 - n), (0, 0)))
+    idx_t = jnp.swapaxes(idx, 1, 2)  # [B, k, N]
+    dists_t = None if dists is None else jnp.swapaxes(dists, 1, 2)
+    if np8 > n:
+        idx_t = jnp.pad(idx_t, ((0, 0), (0, 0), (0, np8 - n)))
+        if dists_t is not None:
+            dists_t = jnp.pad(dists_t, ((0, 0), (0, 0), (0, np8 - n)))
+    idx_t = idx_t.reshape(b_sz, k * np8, 1)
+    if dists_t is not None:
+        dists_t = dists_t.reshape(b_sz, k * np8, 1)
+    return u1, idx_t, dists_t, np8
+
+
+def _v3_common_specs(np8, n, k, h1, use_dists, dropout_p):
+    in_specs = []
+    if dropout_p > 0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    in_specs += [
+        pl.BlockSpec((1, np8, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # u1p
+        pl.BlockSpec((1, n, h1 + 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # u2m
+        pl.BlockSpec((1, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # idx
+    ]
+    if use_dists:
+        in_specs.append(
+            pl.BlockSpec((1, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w_d [1, H1]
+    return in_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def knn_edge_aggregate_v3(u1, u2m, idx, dists, w_d, weights_flat, seed_v, alpha,
+                          sum_agg, dropout_p, need_wgrads=True):
+    """v2's contract (same arguments, same math) on neighbour-major rows:
+    the receiver broadcast and the k-aggregation run as aligned VPU
+    copies/adds instead of one-hot MXU matmuls. See the section comment."""
+    return _fwd_impl_v3(u1, u2m, idx, dists, w_d, _weights_list(weights_flat),
+                        seed_v, alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p)
+
+
+def _fwd_impl_v3(u1, u2m, idx, dists, w_d, weights, seed, *, alpha, sum_agg, dropout_p):
+    b_sz, n, h1 = u1.shape
+    k = idx.shape[-1]
+    use_dists = dists is not None
+    h_out = weights[-1][0].shape[1] if weights else h1
+    u1p, idx_t, dists_t, np8 = _v3_operands(u1, u2m, idx, dists)
+
+    in_specs = _v3_common_specs(np8, n, k, h1, use_dists, dropout_p)
+    args = []
+    if dropout_p > 0:
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
+    args += [u1p, u2m, idx_t]
+    if use_dists:
+        args.append(dists_t)
+        args.append(w_d.reshape(1, h1))
+    for w, bias in weights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.extend([w, bias])
+
+    kernel = functools.partial(
+        _fwd_kernel_v3, len(weights), alpha, sum_agg, np8, n, k, use_dists, dropout_p
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_sz,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, np8, h_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_sz, np8, h_out), u1.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*args)
+    return out[:, :n] if np8 > n else out
+
+
+def _bwd_impl_v3(u1, u2m, idx, dists, w_d, weights, g, seed, *, alpha, sum_agg,
+                 dropout_p, need_wgrads=True):
+    b_sz, n, h1 = u1.shape
+    k = idx.shape[-1]
+    use_dists = dists is not None
+    h_out = weights[-1][0].shape[1] if weights else h1
+    u1p, idx_t, dists_t, np8 = _v3_operands(u1, u2m, idx, dists)
+    if np8 > n:
+        g = jnp.pad(g, ((0, 0), (0, np8 - n), (0, 0)))
+
+    in_specs = _v3_common_specs(np8, n, k, h1, use_dists, dropout_p)
+    args = []
+    if dropout_p > 0:
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
+    args += [u1p, u2m, idx_t]
+    if use_dists:
+        args.append(dists_t)
+        args.append(w_d.reshape(1, h1))
+    for w, bias in weights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.extend([w, bias])
+    in_specs.append(
+        pl.BlockSpec((1, np8, h_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(g)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((b_sz, np8, h1), u1.dtype),  # du1 (padded rows zero)
+        jax.ShapeDtypeStruct((b_sz, n, h1), jnp.float32),  # du2 (jet-exclusive)
+        jax.ShapeDtypeStruct((b_sz, n, 1), jnp.float32),  # dmask
+    ]
+    out_specs = [
+        pl.BlockSpec((1, np8, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if use_dists:
+        out_shapes.append(jax.ShapeDtypeStruct((b_sz, k * np8, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((1, h1), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    for w, bias in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct(bias.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _bwd_kernel_v3, len(weights), alpha, sum_agg, np8, n, k, use_dists, dropout_p,
+        need_wgrads,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b_sz,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*args)
+
+    du1 = outs[0][:, :n] if np8 > n else outs[0]
+    du2, dmask = outs[1], outs[2]
+    o = 3
+    ddists = dwd = None
+    if use_dists:
+        ddists_t = outs[o].reshape(b_sz, k, np8)  # neighbour-major back out
+        ddists = jnp.swapaxes(ddists_t[:, :, :n], 1, 2)  # [B, N, k]
+        dwd = outs[o + 1]
+        o += 2
+    dweights = [(outs[o + 2 * i], outs[o + 1 + 2 * i]) for i in range(len(weights))]
+    return du1, du2, dmask, ddists, dwd, dweights
+
+
+def _vjp_fwd_v3(u1, u2m, idx, dists, w_d, weights_flat, seed_v, alpha, sum_agg,
+                dropout_p, need_wgrads):
+    out = knn_edge_aggregate_v3(u1, u2m, idx, dists, w_d, weights_flat, seed_v,
+                                alpha, sum_agg, dropout_p, need_wgrads)
+    return out, (u1, u2m, idx, dists, w_d, weights_flat, seed_v)
+
+
+def _vjp_bwd_v3(alpha, sum_agg, dropout_p, need_wgrads, res, g):
+    u1, u2m, idx, dists, w_d, weights_flat, seed_v = res
+    weights = _weights_list(weights_flat)
+    du1, du2, dmask, ddists, dwd, dweights = _bwd_impl_v3(
+        u1, u2m, idx, dists, w_d, weights, g, seed_v,
+        alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p, need_wgrads=need_wgrads,
+    )
+    du2m = jnp.concatenate(
+        [du2.astype(u2m.dtype), dmask.astype(u2m.dtype)], axis=-1
+    )
+    dw_flat = tuple(
+        d.astype(p.dtype) for pair, wpair in zip(dweights, weights) for d, p in zip(pair, wpair)
+    )
+    didx = None
+    dseed = None if seed_v is None else jnp.zeros_like(seed_v)
+    ddists = None if dists is None else ddists.reshape(dists.shape).astype(dists.dtype)
+    dwd = None if w_d is None else dwd.reshape(w_d.shape).astype(w_d.dtype)
+    return du1.astype(u1.dtype), du2m, didx, ddists, dwd, dw_flat, dseed
+
+
+knn_edge_aggregate_v3.defvjp(_vjp_fwd_v3, _vjp_bwd_v3)
+
+
 def _vjp_bwd(alpha, sum_agg, dropout_p, res, g):
     x, mask, idx, dists, cond, weights_flat, seed_v = res
     weights = _weights_list(weights_flat)

@@ -386,7 +386,12 @@ def _mp_layer_apply_fused_knn(
     relayouts. ``MPGAN_TPU_KNN_KERNEL=1`` (read at trace time) restores the
     round-2 v1 kernel, which assembles the raw ``[x_i, x_j, dists, cond]``
     pair rows in-kernel, for ablations."""
-    from .knn_pallas import knn_edge_aggregate, knn_edge_aggregate_v2, knn_select
+    from .knn_pallas import (
+        knn_edge_aggregate,
+        knn_edge_aggregate_v2,
+        knn_edge_aggregate_v3,
+        knn_select,
+    )
 
     weights, fe_state = _fe_weights_sn(cfg, params, state, update_sn)
     if os.environ.get("MPGAN_TPU_KNN_SELECT", "1") != "0":
@@ -421,14 +426,18 @@ def _mp_layer_apply_fused_knn(
             jax.random.fold_in(rng, 1), (), 0, 2**30, dtype=jnp.int32
         ).astype(jnp.float32)
 
-    if os.environ.get("MPGAN_TPU_KNN_KERNEL", "2") != "1":
-        # v2: first-layer decomposition (dense-kernel style)
+    version = os.environ.get("MPGAN_TPU_KNN_KERNEL", "2")
+    if version != "1":
+        # v2/v3: first-layer decomposition (dense-kernel style); v3 further
+        # reorders pair rows neighbour-major so the receiver broadcast and
+        # k-aggregation run as aligned VPU copies/adds (knn_pallas.py)
         u1, u2, w_d = _decompose_first_layer(
             cfg, weights, x, labels, num_jet_particles, extract_wd=cfg.pos_diffs
         )
         u2m = jnp.concatenate([u2, m.astype(x.dtype)], axis=-1)
         hidden_flat = tuple(p for w, bb in weights[1:] for p in (w.T, bb))
-        agg = knn_edge_aggregate_v2(
+        gather = knn_edge_aggregate_v3 if version == "3" else knn_edge_aggregate_v2
+        agg = gather(
             u1, u2m, idx, dists, w_d, hidden_flat, seed,
             cfg.fe.leaky_relu_alpha, cfg.sum_agg, dropout_p, _need_wgrads(),
         )

@@ -11,6 +11,9 @@ components to locate the wall:
   v1_full / v2_full       — the production kernels
   v2_nohidden             — gather + first layer + aggregation only
                             (hidden chain deleted): MXU chain cost by diff
+  v3_full / v3_nohidden   — neighbour-major rows: receiver broadcast and
+                            k-aggregation as aligned VPU copies/adds, only
+                            the sender gather on the MXU
 
 Differential single-dispatch timing (bench.py protocol). One experiment per
 invocation on the shared tunnel; run AFTER any bench.
@@ -92,6 +95,20 @@ def main():
     timed(
         "v2_nohidden",
         lambda a, b, i: kp.knn_edge_aggregate_v2(
+            a, b, i, None, None, (), None, 0.2, True, 0.0
+        ),
+        u1, u2m, idx,
+    )
+    timed(
+        "v3_full",
+        lambda a, b, i: kp.knn_edge_aggregate_v3(
+            a, b, i, None, None, weights_v2, None, 0.2, True, 0.0
+        ),
+        u1, u2m, idx,
+    )
+    timed(
+        "v3_nohidden",
+        lambda a, b, i: kp.knn_edge_aggregate_v3(
             a, b, i, None, None, (), None, 0.2, True, 0.0
         ),
         u1, u2m, idx,

@@ -256,6 +256,25 @@ def main() -> int:
         )
     finally:
         del os.environ["MPGAN_TPU_KNN_KERNEL"]
+    # the v3 (neighbour-major) gather kernel — receiver sublane padding,
+    # transposed idx/dists and id-matrix dropout keys are all layout changes
+    # only Mosaic can falsify
+    os.environ["MPGAN_TPU_KNN_KERNEL"] = "3"
+    try:
+        ok &= check(
+            "knn-20 150p masked [v3 kernel]",
+            mk(32, [96, 160, 192], [256, 256], 32, clabels=1,
+               fully_connected=False, num_knn=20),
+            b=16, n=150, clabels=1,
+        )
+        ok &= check(
+            "knn-16 cond pos-diffs [v3 kernel]",
+            mk(16, [24, 32], [32], 16, fully_connected=False, num_knn=16,
+               pos_diffs=True, all_ef=True, clabels=1, mask_fne_np=True),
+            b=32, n=30, clabels=1, fne_np=True,
+        )
+    finally:
+        del os.environ["MPGAN_TPU_KNN_KERNEL"]
     # the select kernel's own contract, compiled (near-tie divergences only)
     ok &= check_selection("select 30p k=16", b=32, n=30, f=16, k=16)
     ok &= check_selection("select 150p k=20", b=64, n=150, f=32, k=20)

@@ -158,6 +158,82 @@ def test_knn_v2_matches_v1_with_dropout(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
 
 
+def test_knn_v3_matches_v2_with_dropout(monkeypatch):
+    """The v3 (neighbour-major) gather kernel keys its dropout hash on the
+    same global receiver-major pair ids as v1/v2 (via the explicit id
+    matrix, knn_pallas._v3_ids), so with identical seeds its outputs and
+    gradients must agree with v2 even with dropout ON. N is deliberately
+    NOT a multiple of 8 so the receiver sublane padding (dummy rows, padded
+    cotangents, idx/dists transposition) is exercised."""
+    cfg = MPLayerConfig.build(
+        8, [24, 16], [32], 8, fully_connected=False, num_knn=5,
+        pos_diffs=True, all_ef=True, clabels=2, mask_fne_np=True,
+        linear_args={"dropout_p": 0.3},
+    )
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data(b=2, n=14, seed=3)
+    rng = np.random.RandomState(9)
+    labels = jnp.asarray(rng.rand(2, 2).astype(np.float32))
+    njp = jnp.sum(mask, axis=(1, 2)) / 14
+
+    def run(version):
+        monkeypatch.setenv("MPGAN_TPU_KNN_KERNEL", version)
+
+        def f(p, xx):
+            y, _ = mp_layer_apply(
+                cfg, p, state, xx, mask=mask, labels=labels,
+                num_jet_particles=njp, train=True, rng=jax.random.PRNGKey(7),
+                use_pallas=True,
+            )
+            return jnp.sum(jnp.sin(y)), y
+
+        (loss, y), grads = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+            params, x
+        )
+        return y, grads
+
+    y2, g2 = run("2")
+    y3, g3 = run("3")
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y2), rtol=5e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g3), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_knn_v3_need_wgrads_false_skips_weight_grads():
+    """v3's need_wgrads hint: du1/du2m/ddists bit-identical, hidden weight
+    and w_d cotangents exact zeros (mirrors the v2 contract)."""
+    from mpgan_tpu.ops.knn_pallas import knn_edge_aggregate_v3
+
+    rng = np.random.RandomState(2)
+    b, n, k, h1, h2 = 2, 12, 4, 24, 16
+    u1 = jnp.asarray(rng.randn(b, n, h1).astype(np.float32) * 0.3)
+    u2m = jnp.asarray(rng.randn(b, n, h1 + 1).astype(np.float32) * 0.3)
+    idx = jnp.asarray(rng.randint(0, n, size=(b, n, k)).astype(np.int32))
+    dists = jnp.asarray(rng.rand(b, n, k).astype(np.float32))
+    w_d = jnp.asarray(rng.randn(h1).astype(np.float32) * 0.2)
+    hidden = (
+        jnp.asarray(rng.randn(h1, h2).astype(np.float32) * 0.2),
+        jnp.asarray(rng.randn(h2).astype(np.float32) * 0.2),
+    )
+    seed = jnp.asarray(5.0)
+
+    def f(u1, u2m, dists, w_d, hidden, need):
+        out = knn_edge_aggregate_v3(
+            u1, u2m, idx, dists, w_d, hidden, seed, 0.2, True, 0.5, need
+        )
+        return jnp.sum(jnp.sin(out))
+
+    g_full = jax.grad(f, argnums=(0, 1, 2, 3, 4))(u1, u2m, dists, w_d, hidden, True)
+    g_skip = jax.grad(f, argnums=(0, 1, 2, 3, 4))(u1, u2m, dists, w_d, hidden, False)
+    for a, bb in zip(g_full[:3], g_skip[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+    assert not np.any(np.asarray(g_skip[3]))
+    for d in jax.tree.leaves(g_skip[4]):
+        assert not np.any(np.asarray(d))
+    assert np.any(np.asarray(g_full[3]))
+    assert any(np.any(np.asarray(d)) for d in jax.tree.leaves(g_full[4]))
+
+
 def test_knn_v2_need_wgrads_false_skips_weight_grads():
     """need_wgrads=False must keep du1/du2m/ddists bit-identical and return
     exact zeros for the hidden-layer weight and w_d cotangents (the G-step
