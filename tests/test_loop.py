@@ -307,6 +307,27 @@ def test_trainer_mesh_interleave_scan_matches_per_batch_loop(tmp_path):
         )
 
 
+def test_trainer_mesh_resume(tmp_path):
+    """Resume composes with the mesh + epoch-scan path: the reloaded
+    checkpoint state feeds the sharded scanned epoch, training continues to
+    the new horizon, and the loss history carries over (the single-device
+    resume contracts, test_trainer_resume*, re-checked under a mesh)."""
+    train_ds, valid_ds = _datasets()
+    a1 = _tiny_args(tmp_path, name="mesh_resume", num_epochs=2, mesh_shape=8)
+    Trainer(a1, train_dataset=train_ds, valid_dataset=valid_ds).train()
+
+    a2 = _tiny_args(tmp_path, name="mesh_resume", num_epochs=3, mesh_shape=8,
+                    load_model=True)
+    t2 = Trainer(a2, train_dataset=train_ds, valid_dataset=valid_ds)
+    assert t2.start_epoch == 2
+    assert t2._mesh is not None and t2._mesh.size == 8
+    assert len(t2.losses["G"]) == 2  # history reloaded before the new epoch
+    t2.train()
+    assert t2._staged is not None, "resumed mesh run must keep the epoch scan"
+    assert len(t2.losses["G"]) == 3 and np.all(np.isfinite(t2.losses["G"]))
+    assert (tmp_path / "mesh_resume" / "models" / "state_3.npz").exists()
+
+
 def test_epoch_scan_matches_per_batch_loop(tmp_path):
     """The single-dispatch epoch scan must reproduce the host-loop path
     exactly (same shuffle stream, same rng threading, same interleave):
