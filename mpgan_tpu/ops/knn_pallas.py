@@ -34,6 +34,7 @@ from .mp_pallas import (
     _dropmul,
     _interpret,
     _leaky,
+    _pad_senders,
     _pick_splits,
     _split_mlp_chain,
 )
@@ -984,29 +985,11 @@ knn_edge_aggregate_v2.defvjp(_vjp_fwd_v2, _vjp_bwd_v2)
 
 
 def _dropmul_ids(shape, dropout_p, seed, salt, ids):
-    """`_dropmul` with an explicit per-row global-pair-id column ``ids``
+    """`_dropmul` keyed on an explicit per-row global-pair-id column ``ids``
     ([rows, 1] uint32) instead of row-iota + scalar offset — same hash, so
     masks match v1/v2 per (receiver, neighbour) edge regardless of the
     kernel's row ordering."""
-    keep = 1.0 - dropout_p
-    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    h = (
-        ids * np.uint32(0x9E3779B1)
-        + cols * np.uint32(0x85EBCA77)
-        + seed.astype(jnp.uint32) * np.uint32(0xC2B2AE3D)
-        + np.uint32((salt * 0x27D4EB2F) & 0xFFFFFFFF)
-    )
-    h = h ^ (h >> 16)
-    h = h * np.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * np.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    threshold = np.uint32(min(int(dropout_p * 2**32), 2**32 - 1))
-    return jnp.where(h >= threshold, 1.0 / keep, 0.0)
-
-
-def _pad8(n: int) -> int:
-    return ((n + 7) // 8) * 8
+    return _dropmul(shape, dropout_p, seed, salt, None, ids=ids)
 
 
 def _v3_ids(np8: int, n: int, k: int):
@@ -1021,28 +1004,9 @@ def _v3_ids(np8: int, n: int, k: int):
 
 def _chain_ids(a, wb, num_hidden, alpha, dropout_p, seed, ids, first_salt, n_splits):
     """`_split_mlp_chain` with id-matrix dropout keys (v3 row ordering)."""
-    part = a.shape[0] // n_splits
-    parts = [a[s * part : (s + 1) * part] for s in range(n_splits)]
-    id_parts = [
-        None if ids is None else ids[s * part : (s + 1) * part] for s in range(n_splits)
-    ]
-    for layer in range(num_hidden):
-        w = wb[2 * layer][:]
-        b = wb[2 * layer + 1][:]
-        zs = [
-            jax.lax.dot_general(
-                p.astype(w.dtype), w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for p in parts
-        ]
-        parts = [_leaky(z + b.astype(jnp.float32), alpha) for z in zs]
-        if dropout_p > 0:
-            parts = [
-                p * _dropmul_ids(p.shape, dropout_p, seed, first_salt + layer, i)
-                for p, i in zip(parts, id_parts)
-            ]
-    return jnp.concatenate(parts, axis=0)
+    return _split_mlp_chain(
+        a, wb, num_hidden, alpha, dropout_p, seed, None, first_salt, n_splits, ids=ids
+    )
 
 
 def _tree_sum_groups(am, k: int, np8: int):
@@ -1259,7 +1223,7 @@ def _v3_operands(u1, u2m, idx, dists):
     the sublane multiple and transpose idx/dists [B,N,k] -> [B, k*NP8, 1]."""
     b_sz, n, _ = u1.shape
     k = idx.shape[-1]
-    np8 = _pad8(n)
+    np8 = _pad_senders(n)  # same 8-row sublane rule, applied to receivers here
     if np8 > n:
         u1 = jnp.pad(u1, ((0, 0), (0, np8 - n), (0, 0)))
     idx_t = jnp.swapaxes(idx, 1, 2)  # [B, k, N]

@@ -379,13 +379,18 @@ def _mp_layer_apply_fused_knn(
     at N=150, k=20, and no HBM gather). ``MPGAN_TPU_KNN_SELECT=0`` falls
     back to the XLA search for ablations.
 
-    Two gather-kernel generations exist: the default v2 decomposes the first
-    fe layer like the dense path (u1/u2 embeddings computed here, bias +
-    per-jet conditioning folded into u2) and keeps every in-kernel array
-    2-D with one-hot-matmul gather/broadcast/aggregation — no Mosaic
-    relayouts. ``MPGAN_TPU_KNN_KERNEL=1`` (read at trace time) restores the
-    round-2 v1 kernel, which assembles the raw ``[x_i, x_j, dists, cond]``
-    pair rows in-kernel, for ablations."""
+    Three gather-kernel generations exist, selected by
+    ``MPGAN_TPU_KNN_KERNEL`` (read at trace time; default ``"2"``):
+
+    - ``"2"`` (default): first fe layer decomposed like the dense path
+      (u1/u2 embeddings computed here, bias + per-jet conditioning folded
+      into u2), every in-kernel array 2-D with one-hot-matmul
+      gather/broadcast/aggregation — no Mosaic relayouts;
+    - ``"3"``: same decomposition on neighbour-major pair rows — receiver
+      broadcast and k-aggregation become aligned VPU copies/adds, only the
+      sender gather (and backward scatter) stays a one-hot MXU matmul;
+    - ``"1"``: the round-2 kernel (raw ``[x_i, x_j, dists, cond]`` pair
+      rows assembled in-kernel), kept for ablations."""
     from .knn_pallas import (
         knn_edge_aggregate,
         knn_edge_aggregate_v2,

@@ -72,7 +72,7 @@ def _dleaky(x, alpha):
 # ---------------------------------------------------------------------------
 
 
-def _dropmul(shape, dropout_p, seed, salt, offset):
+def _dropmul(shape, dropout_p, seed, salt, offset, ids=None):
     """Dropout multiplier tensor: 1/keep with prob keep, else 0 (torch
     semantics), from a *stateless* hash (murmur3 finalizer) of the GLOBAL
     element index, the feature column, the layer salt and the seed.
@@ -83,9 +83,17 @@ def _dropmul(shape, dropout_p, seed, salt, offset):
     (not the block-local position) makes the masks independent of the
     kernel's blocking mode, so the backward replays the forward masks
     exactly even when it picks a different jet/receiver block size.
+
+    Kernels whose rows are NOT in global receiver-major order (the knn v3
+    neighbour-major layout) pass the global pair ids explicitly as a
+    ``[rows, 1]`` uint32 ``ids`` matrix instead of ``offset``; the hash —
+    and so every mask — is identical for the same global pair id.
     """
     keep = 1.0 - dropout_p
-    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + offset.astype(jnp.uint32)
+    if ids is not None:
+        rows = ids
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + offset.astype(jnp.uint32)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     h = (
         rows * np.uint32(0x9E3779B1)
@@ -123,16 +131,21 @@ def _pad_senders(n: int) -> int:
 
 
 def _split_mlp_chain(
-    a, wb, num_hidden, alpha, dropout_p, seed, offset, first_salt, n_splits=2
+    a, wb, num_hidden, alpha, dropout_p, seed, offset, first_salt, n_splits=2, ids=None
 ):
     """Run the hidden-layer matmul chain as ``n_splits`` interleaved row
     chains: the chains are data-independent, so Mosaic overlaps one part's
     MXU pass with another's VPU epilogue (~20% measured on the dense kernel
     at N=150 with 2 splits). Dropout offsets shift by the part size so the
-    masks equal the unsplit ones."""
+    masks equal the unsplit ones. ``ids`` (a ``[rows, 1]`` uint32 global
+    pair-id matrix, see :func:`_dropmul`) replaces ``offset`` keying for
+    kernels with non-receiver-major row order (knn v3)."""
     part = a.shape[0] // n_splits
     parts = [a[k * part : (k + 1) * part] for k in range(n_splits)]
     offs = [None if offset is None else offset + k * part for k in range(n_splits)]
+    id_parts = [
+        None if ids is None else ids[k * part : (k + 1) * part] for k in range(n_splits)
+    ]
     for layer in range(num_hidden):
         w = wb[2 * layer][:]
         b = wb[2 * layer + 1][:]
@@ -146,8 +159,8 @@ def _split_mlp_chain(
         parts = [_leaky(z + b.astype(jnp.float32), alpha) for z in zs]
         if dropout_p > 0:
             parts = [
-                p * _dropmul(p.shape, dropout_p, seed, first_salt + layer, o)
-                for p, o in zip(parts, offs)
+                p * _dropmul(p.shape, dropout_p, seed, first_salt + layer, o, ids=i)
+                for p, o, i in zip(parts, offs, id_parts)
             ]
     return jnp.concatenate(parts, axis=0)
 
