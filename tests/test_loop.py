@@ -160,6 +160,29 @@ def test_trainer_gapt(tmp_path):
     assert all(np.isfinite(trainer.losses["G"]))
 
 
+def test_trainer_gapt_mesh(tmp_path):
+    """GAPT under a mesh: the scanned sharded epoch + sharded eval path is
+    model-agnostic (the mesh Trainer tests above all run mpgan); this pins
+    that the attention stack (jet-head-packed SAB/PMA kernels) composes
+    with shard_map the same way."""
+    import jax
+
+    assert jax.device_count() >= 8
+    args = _tiny_args(
+        tmp_path, name="gapt_mesh", model="gapt", model_D="gapt",
+        gapt_embed_dim=16, num_heads=2, sab_layers_gen=1, sab_layers_disc=1,
+        fpd=False, mesh_shape=8,
+    )
+    train_ds, valid_ds = _datasets()
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    assert trainer._mesh is not None and trainer._mesh.size == 8
+    trainer.train()
+    assert trainer._staged is not None, "mesh GAPT run must keep the epoch scan"
+    assert len(trainer.losses["w1m"]) == 2
+    assert all(np.isfinite(trainer.losses["G"]))
+    assert (tmp_path / "gapt_mesh" / "models" / "state_2.npz").exists()
+
+
 def test_trainer_150p_masked_knn(tmp_path):
     """BASELINE.json config 4: masked variable-cardinality 150-particle
     MPGAN, with the knn sparsification the reference prescribes for large
