@@ -187,6 +187,62 @@ def check_selection(name, b, n, f, k, seed=0, self_loops=True):
     return ok
 
 
+def check_dropout_consistency(name, cfg, b, n, env_a, env_b, clabels=0,
+                              fne_np=False, tol=2e-2, seed=0):
+    """COMPILED dropout-mask consistency across kernel variants: the
+    stateless hash keys masks on the global (receiver, sender) pair id, so
+    two blocking modes (dense: jets vs receiver mode) or two kernel
+    generations (knn: v2 vs v3 row orders) must produce the same train-mode
+    outputs/input-grads up to reduction-order noise. The fused-vs-jnp
+    ``check`` can't cover dropout (the jnp path draws different masks);
+    interpret-mode tests cover these pairs but cannot falsify Mosaic. knn
+    configs pin MPGAN_TPU_KNN_SELECT per ``check``'s isolation rule (the
+    select near-tie contract is checked separately)."""
+    import os
+
+    x, mask, labels = _data(b, n, cfg.input_node_size, masked=True, seed=seed)
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    lab = labels if clabels else None
+    njp = jnp.sum(mask, axis=(1, 2)) / n if fne_np else None
+
+    def run(env):
+        prev = {k: os.environ.get(k) for k in env}
+        if not cfg.fully_connected:
+            prev.setdefault("MPGAN_TPU_KNN_SELECT", os.environ.get("MPGAN_TPU_KNN_SELECT"))
+            os.environ["MPGAN_TPU_KNN_SELECT"] = "0"
+        os.environ.update(env)
+        try:
+
+            def f(xx):
+                y, _ = mp_layer_apply(
+                    cfg, params, state, xx, mask=mask, labels=lab,
+                    num_jet_particles=njp, train=True,
+                    rng=jax.random.PRNGKey(7), use_pallas=True,
+                )
+                return jnp.sum(jnp.tanh(y)), y
+
+            (_, y), dx = jax.jit(jax.value_and_grad(f, has_aux=True))(x)
+            return np.asarray(y), np.asarray(dx)
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    y_a, dx_a = run(env_a)
+    y_b, dx_b = run(env_b)
+    fwd_err = float(np.max(np.abs(y_a - y_b)))
+    denom = float(np.max(np.abs(dx_b))) + 1e-6
+    dx_err = float(np.max(np.abs(dx_a - dx_b))) / denom
+    ok = fwd_err < tol and dx_err < tol
+    print(
+        f"{'PASS' if ok else 'FAIL'} {name}: fwd max|d|={fwd_err:.2e} "
+        f"dx rel={dx_err:.2e} (dropout-mask consistency bar {tol:.0e})"
+    )
+    return ok
+
+
 def main() -> int:
     if jax.default_backend() != "tpu":
         print("no TPU attached - this check needs real hardware")
@@ -278,6 +334,30 @@ def main() -> int:
     # the select kernel's own contract, compiled (near-tie divergences only)
     ok &= check_selection("select 30p k=16", b=32, n=30, f=16, k=16)
     ok &= check_selection("select 150p k=20", b=64, n=150, f=32, k=20)
+    # compiled train-mode dropout: mask keying must be blocking/row-order
+    # invariant (the contracts interpret mode cannot falsify)
+    drop = {"dropout_p": 0.3}
+    ok &= check_dropout_consistency(
+        "dense 30p dropout: jets-mode vs receiver-mode blocking",
+        mk(32, [96, 160, 192], [256, 256], 32, clabels=1, linear_args=drop),
+        b=64, n=30, clabels=1,
+        env_a={}, env_b={"MPGAN_TPU_BLOCK_JETS": "1"},
+    )
+    ok &= check_dropout_consistency(
+        "knn-20 150p dropout: v2 vs v3 kernels",
+        mk(32, [96, 160, 192], [256, 256], 32, clabels=1,
+           fully_connected=False, num_knn=20, linear_args=drop),
+        b=16, n=150, clabels=1,
+        env_a={"MPGAN_TPU_KNN_KERNEL": "2"}, env_b={"MPGAN_TPU_KNN_KERNEL": "3"},
+    )
+    ok &= check_dropout_consistency(
+        "knn-16 cond pos-diffs dropout: v1 vs v3 kernels",
+        mk(16, [24, 32], [32], 16, fully_connected=False, num_knn=16,
+           pos_diffs=True, all_ef=True, clabels=1, mask_fne_np=True,
+           linear_args=drop),
+        b=32, n=30, clabels=1, fne_np=True,
+        env_a={"MPGAN_TPU_KNN_KERNEL": "1"}, env_b={"MPGAN_TPU_KNN_KERNEL": "3"},
+    )
     print("ALL PASS" if ok else "FAILURES ABOVE")
     return 0 if ok else 2
 
