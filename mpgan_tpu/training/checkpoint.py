@@ -15,6 +15,7 @@ them, and truncated to the resume epoch like setup_training.losses
 
 from __future__ import annotations
 
+import os
 import pathlib
 import re
 from typing import Any
@@ -31,8 +32,19 @@ def _flatten(tree: Any) -> tuple[list[np.ndarray], Any]:
 
 
 def save_train_state(path: str | pathlib.Path, state: TrainState) -> None:
+    """Atomic write (tmp + rename): a preemption mid-save must never leave a
+    truncated ``state_N.npz`` for latest-epoch discovery / resume to trip
+    over (the reference's four separate ``torch.save`` calls have the same
+    hazard, setup_training.py:1138-1152; production TPU jobs are routinely
+    preempted, so durability is a first-class contract here)."""
+    path = pathlib.Path(path)
     leaves, _ = _flatten(state)
-    np.savez(path, **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)})
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **{f"leaf_{i}": leaf for i, leaf in enumerate(leaves)})
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def load_train_state(path: str | pathlib.Path, template: TrainState) -> TrainState:

@@ -160,6 +160,32 @@ def test_trainer_gapt(tmp_path):
     assert all(np.isfinite(trainer.losses["G"]))
 
 
+def test_checkpoint_save_is_atomic(tmp_path):
+    """save_train_state writes tmp + os.replace: no partial state_N.npz can
+    exist (preempted-job durability), no .tmp residue survives a successful
+    save, and a stale .tmp from a crashed save neither breaks latest-epoch
+    discovery nor the reload."""
+    from mpgan_tpu.training import checkpoint as ckpt
+    from mpgan_tpu.training.train_step import TrainState
+
+    state = TrainState(
+        g_params={"w": np.ones((2, 2), np.float32)}, g_state={},
+        d_params={"w": np.zeros((3,), np.float32)}, d_state={},
+        g_opt_state={"m": np.zeros((2, 2), np.float32)},
+        d_opt_state={"m": np.zeros((3,), np.float32)},
+        rng=np.zeros(2, np.uint32),
+    )
+    models = tmp_path / "models"
+    models.mkdir()
+    # leftover from a simulated crash mid-save of epoch 2
+    (models / "state_2.npz.tmp").write_bytes(b"truncated garbage")
+    ckpt.save_train_state(ckpt.checkpoint_path(models, 1), state)
+    assert ckpt.latest_epoch(models) == 1  # .tmp ignored by discovery
+    assert not (models / "state_1.npz.tmp").exists()
+    restored = ckpt.load_train_state(ckpt.checkpoint_path(models, 1), state)
+    np.testing.assert_array_equal(restored.g_params["w"], state.g_params["w"])
+
+
 def test_trainer_gapt_mesh(tmp_path):
     """GAPT under a mesh: the scanned sharded epoch + sharded eval path is
     model-agnostic (the mesh Trainer tests above all run mpgan); this pins
