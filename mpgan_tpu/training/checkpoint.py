@@ -87,7 +87,12 @@ def save_losses(losses: dict[str, list], losses_dir: str | pathlib.Path) -> None
     losses_dir = pathlib.Path(losses_dir)
     losses_dir.mkdir(parents=True, exist_ok=True)
     for key, vals in losses.items():
-        np.savetxt(losses_dir / f"{key}.txt", np.asarray(vals))
+        # same atomicity contract as save_train_state: resume re-reads these
+        # with np.loadtxt, which chokes on a partially-written last line
+        path = losses_dir / f"{key}.txt"
+        tmp = path.with_name(path.name + ".tmp")
+        np.savetxt(tmp, np.asarray(vals))
+        os.replace(tmp, path)
 
 
 def load_losses(
