@@ -26,6 +26,7 @@ details.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -338,6 +339,19 @@ def main() -> None:
     # MXU ceiling?
     jets_150_bf16, mfu_150_bf16, _ = bench_generator(150, batch=512, bf16=True)
     train_ms_150_dense_bf16 = bench_train_step(150, batch=128, bf16=True)
+    # knn gather-kernel v3 (neighbour-major rows, MPGAN_TPU_KNN_KERNEL=3):
+    # recorded alongside the default so the BENCH artifact carries the
+    # v2-vs-v3 comparison whichever is default (env read at trace time)
+    prev_kk = os.environ.get("MPGAN_TPU_KNN_KERNEL")
+    os.environ["MPGAN_TPU_KNN_KERNEL"] = "3"
+    try:
+        jets_150_knn_v3, mfu_150_knn_v3, _ = bench_generator(150, batch=512, num_knn=20)
+        train_ms_150_knn_v3 = bench_train_step(150, batch=128, num_knn=20)
+    finally:
+        if prev_kk is None:
+            os.environ.pop("MPGAN_TPU_KNN_KERNEL", None)
+        else:
+            os.environ["MPGAN_TPU_KNN_KERNEL"] = prev_kk
 
     # GAPT A100 baseline (the papers publish no GAPT timing): scale the
     # measured A100 MPGAN 30p number by the exact FLOP-model ratio. GAPT has
@@ -368,6 +382,13 @@ def main() -> None:
             # (setup_training.py:826-834), fused gather-in-kernel path
             "jets_per_sec_150p_knn20": round(jets_150_knn, 1),
             "vs_baseline_150p_knn20": round(jets_150_knn / BASELINE_150P_JETS_PER_SEC, 2),
+            # v3 neighbour-major gather kernel (opt-in while v2 is default)
+            "jets_per_sec_150p_knn20_v3": round(jets_150_knn_v3, 1),
+            "vs_baseline_150p_knn20_v3": round(
+                jets_150_knn_v3 / BASELINE_150P_JETS_PER_SEC, 2
+            ),
+            "mfu_150p_knn20_v3": round(mfu_150_knn_v3, 3),
+            "train_step_ms_150p_knn20_v3_b128": round(train_ms_150_knn_v3, 2),
             "jets_per_sec_150p_padfree_fe128_256": round(jets_150_pf, 1),
             "vs_baseline_150p_padfree": round(jets_150_pf / BASELINE_150P_JETS_PER_SEC, 2),
             "jets_per_sec_30p_gapt": round(jets_30_gapt, 1),
