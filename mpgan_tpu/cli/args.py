@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
             group.add_argument(
                 "--no-" + key.replace("_", "-"), dest=key, action="store_false"
             )
+            if key == "sum":
+                # the reference names sum's negation --mean, not --no-sum
+                # (setup_training.py:503); accept both spellings
+                group.add_argument("--mean", dest=key, action="store_false")
             parser.set_defaults(**{key: default})
         elif isinstance(default, list):
             elem_type = type(default[0]) if default else int

@@ -21,6 +21,46 @@ def test_parser_flag_surface():
     assert args.lr_disc == pytest.approx(1.5e-5)
 
 
+def test_flag_surface_covers_reference(reference_path):
+    """Every flag the reference's argparse exposes must exist here (a
+    migrating user's command lines keep working): AST-extract the
+    add_argument / add_bool_arg calls from setup_training.py and diff
+    against build_parser(). Torch/CUDA-runtime flags with no TPU meaning
+    are the only sanctioned exclusions."""
+    import ast
+
+    src = (reference_path / "setup_training.py").read_text()
+    ref_flags = set()
+    for node in ast.walk(ast.parse(src)):
+        if not isinstance(node, ast.Call):
+            continue
+        if getattr(node.func, "attr", "") == "add_argument":
+            for a in node.args:
+                if isinstance(a, ast.Constant) and str(a.value).startswith("--"):
+                    ref_flags.add(a.value[2:])
+        name_matches = (
+            getattr(node.func, "id", "") == "add_bool_arg"
+            or getattr(node.func, "attr", "") == "add_bool_arg"
+        )
+        if name_matches and len(node.args) >= 2 and isinstance(node.args[1], ast.Constant):
+            name = node.args[1].value
+            no_name = next(
+                (kw.value.value for kw in node.keywords
+                 if kw.arg == "no_name" and isinstance(kw.value, ast.Constant)),
+                "no-" + name,
+            )
+            ref_flags.update({name, no_name})
+
+    ours = {
+        s[2:]
+        for action in build_parser()._actions
+        for s in action.option_strings
+        if s.startswith("--")
+    }
+    missing = ref_flags - ours
+    assert not missing, f"reference flags absent from this CLI: {sorted(missing)}"
+
+
 def test_gp_pins_mpgan_discriminator_to_jnp_path():
     """WGAN-GP needs grad-of-grad through D; the fused Pallas kernels'
     custom-VJP backward has no AD rule, so a (user-forced) mpgan+GP config
