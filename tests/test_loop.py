@@ -209,6 +209,27 @@ def test_trainer_gapt_mesh(tmp_path):
     assert (tmp_path / "gapt_mesh" / "models" / "state_2.npz").exists()
 
 
+def test_trainer_mesh_knn(tmp_path):
+    """knn under a mesh: the Pallas select + gather kernels execute
+    per-shard inside shard_map (the partitioner cannot split a custom
+    call), composed with the scanned epoch. Small cloud so interpret-mode
+    kernels stay fast; N deliberately not a sublane multiple."""
+    import jax
+
+    assert jax.device_count() >= 8
+    args = _tiny_args(
+        tmp_path, name="mesh_knn", num_hits=14, fully_connected=False,
+        num_knn=5, fpd=False, num_epochs=1, mesh_shape=8,
+        eval_tot_samples=100, w1_num_samples=[50],
+    )
+    train_ds, valid_ds = _datasets(num_hits=14)
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    trainer.train()
+    assert trainer._staged is not None
+    assert np.isfinite(trainer.losses["G"][-1])
+    assert len(trainer.losses["w1m"]) == 1
+
+
 def test_trainer_150p_masked_knn(tmp_path):
     """BASELINE.json config 4: masked variable-cardinality 150-particle
     MPGAN, with the knn sparsification the reference prescribes for large
