@@ -39,6 +39,20 @@ BASELINE_150P_JETS_PER_SEC = BASELINE_30P_JETS_PER_SEC / 25.0  # N^2 scaling
 ITERS = 16
 REPEATS = 3
 
+# MPGAN_TPU_BENCH_SMOKE=1: tiny shapes + single iterations so every code
+# path in main() can be exercised on CPU (interpret-mode kernels) before
+# the driver's round-end hardware run — numbers are meaningless in this mode
+SMOKE = bool(os.environ.get("MPGAN_TPU_BENCH_SMOKE"))
+if SMOKE:
+    ITERS = 1
+    REPEATS = 1
+    # honor a JAX_PLATFORMS pin in-process: the axon TPU plugin
+    # force-registers itself and the env var alone does not always win
+    # (see .claude/skills/verify gotchas) — without this, a dead tunnel
+    # hangs the smoke run in backend init
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def _differential_time(run, *args):
     """Best-of-REPEATS seconds per ITERS iterations, fixed dispatch cost
@@ -59,6 +73,8 @@ def _differential_time(run, *args):
     # make (t2 - t1) under-measure (possibly <= 0)
     best = min(t2s) - min(t1s)
     if best <= 0:
+        if SMOKE:
+            return 1e-6  # smoke mode checks code paths, not timings
         raise RuntimeError(f"non-positive differential time {best}; rerun (link spike)")
     return best
 
@@ -321,32 +337,38 @@ def bench_train_step(
 
 
 def main() -> None:
-    jets_150, mfu_150, _ = bench_generator(150, batch=512)
-    jets_150_knn, mfu_150_knn, _ = bench_generator(150, batch=512, num_knn=20)
+    # smoke mode shrinks every config (tiny clouds/batches, interpret-mode
+    # kernels on CPU) purely to execute main()'s code paths pre-round-end
+    p150, p30 = (12, 12) if SMOKE else (150, 30)
+    b512, b4096, b256, b128 = (8, 8, 8, 8) if SMOKE else (512, 4096, 256, 128)
+    knn20 = 4 if SMOKE else 20
+
+    jets_150, mfu_150, _ = bench_generator(p150, batch=b512)
+    jets_150_knn, mfu_150_knn, _ = bench_generator(p150, batch=b512, num_knn=knn20)
     # pad-free opt-in variant for new trainings: fe=[128,256] has ~equal
     # G parameter count (371k vs 361k) but MXU-lane-aligned widths — no tile
     # padding waste (see PERF.md "Speed of light"); not weight-compatible
     # with the reference flagship, hence a separate line.
-    jets_150_pf, mfu_150_pf, _ = bench_generator(150, batch=512, fe=[128, 256])
-    jets_30, mfu_30, flops_30 = bench_generator(30, batch=4096)
-    jets_30_gapt, mfu_30_gapt, flops_30_gapt = bench_gapt(30, batch=4096)
-    train_ms_30 = bench_train_step(30, batch=256)
-    train_ms_150_knn = bench_train_step(150, batch=128, num_knn=20)
-    train_ms_150_dense = bench_train_step(150, batch=128)
-    train_ms_30_gapt = bench_train_step_gapt(30, batch=512)
+    jets_150_pf, mfu_150_pf, _ = bench_generator(p150, batch=b512, fe=[128, 256])
+    jets_30, mfu_30, flops_30 = bench_generator(p30, batch=b4096)
+    jets_30_gapt, mfu_30_gapt, flops_30_gapt = bench_gapt(p30, batch=b4096)
+    train_ms_30 = bench_train_step(p30, batch=b256)
+    train_ms_150_knn = bench_train_step(p150, batch=b128, num_knn=knn20)
+    train_ms_150_dense = bench_train_step(p150, batch=b128)
+    train_ms_30_gapt = bench_train_step_gapt(p30, batch=b512)
     # bf16 opt-in variants at the flagship widths (VERDICT r2 #3): can bf16
     # storage push reference-compatible fe=[96,160,192] past the f32 padded
     # MXU ceiling?
-    jets_150_bf16, mfu_150_bf16, _ = bench_generator(150, batch=512, bf16=True)
-    train_ms_150_dense_bf16 = bench_train_step(150, batch=128, bf16=True)
+    jets_150_bf16, mfu_150_bf16, _ = bench_generator(p150, batch=b512, bf16=True)
+    train_ms_150_dense_bf16 = bench_train_step(p150, batch=b128, bf16=True)
     # knn gather-kernel v3 (neighbour-major rows, MPGAN_TPU_KNN_KERNEL=3):
     # recorded alongside the default so the BENCH artifact carries the
     # v2-vs-v3 comparison whichever is default (env read at trace time)
     prev_kk = os.environ.get("MPGAN_TPU_KNN_KERNEL")
     os.environ["MPGAN_TPU_KNN_KERNEL"] = "3"
     try:
-        jets_150_knn_v3, mfu_150_knn_v3, _ = bench_generator(150, batch=512, num_knn=20)
-        train_ms_150_knn_v3 = bench_train_step(150, batch=128, num_knn=20)
+        jets_150_knn_v3, mfu_150_knn_v3, _ = bench_generator(p150, batch=b512, num_knn=knn20)
+        train_ms_150_knn_v3 = bench_train_step(p150, batch=b128, num_knn=knn20)
     finally:
         if prev_kk is None:
             os.environ.pop("MPGAN_TPU_KNN_KERNEL", None)
