@@ -61,18 +61,18 @@ def test_adam_l2_matches_torch(torch):
     )
 
 
-def _tiny_gan(n=10, feat=3, hidden=8, dropout=0.0, loss="ls"):
+def _tiny_gan(n=10, feat=3, hidden=8, dropout=0.0, loss="ls", mp_args=None):
     mask = MaskConfig(mask_c=True)
     g_cfg = MPGeneratorConfig.build(
         num_particles=n, input_node_size=hidden, output_node_size=feat,
         mp_iters=2, fe_layers=[12], fn_layers=[16], hidden_node_size=hidden,
-        mask=mask, linear_args={"dropout_p": dropout},
+        mask=mask, linear_args={"dropout_p": dropout}, mp_args=mp_args,
     )
     d_cfg = MPDiscriminatorConfig.build(
         num_particles=n, input_node_size=feat, mp_iters=2,
         fe_layers=[12], fn_layers=[16], hidden_node_size=hidden,
         final_activation="" if loss in ("w", "hinge") else "sigmoid",
-        mask=mask, linear_args={"dropout_p": dropout},
+        mask=mask, linear_args={"dropout_p": dropout}, mp_args=mp_args,
     )
     return g_cfg, d_cfg
 
@@ -115,6 +115,49 @@ def test_train_steps_pallas_matches_jnp():
     states = {}
     for pallas in (False, True):
         g_cfg, d_cfg = _tiny_gan(n=10, hidden=8, dropout=0.0)
+        g_cfg = dataclasses.replace(g_cfg, use_pallas=pallas)
+        d_cfg = dataclasses.replace(d_cfg, use_pallas=pallas)
+        spec = NoiseSpec((10, 8), 0.2)
+        g_opt = build_optimizer("rmsprop", 1e-4)
+        d_opt = build_optimizer("rmsprop", 3e-4)
+        state = init_train_state(
+            jax.random.PRNGKey(0), mp_generator_init, mp_discriminator_init,
+            g_cfg, d_cfg, g_opt, d_opt,
+        )
+        d_step, g_step = make_train_steps(
+            step_cfg=StepConfig(loss="ls"),
+            g_apply=mp_generator_apply, d_apply=mp_discriminator_apply,
+            g_cfg=g_cfg, d_cfg=d_cfg, spec=spec, g_opt=g_opt, d_opt=d_opt,
+        )
+        data, labels = _fake_batch(np.random.RandomState(0), 8, 10)
+        for _ in range(2):
+            state, _ = jax.jit(d_step)(state, data, labels)
+            state, _ = jax.jit(g_step)(state, data, labels)
+        states[pallas] = state
+
+    for a, b in zip(
+        jax.tree.leaves((states[True].g_params, states[True].d_params)),
+        jax.tree.leaves((states[False].g_params, states[False].d_params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("knn_kernel", ["2", "3"])
+def test_train_steps_pallas_matches_jnp_knn(knn_kernel, monkeypatch):
+    """The full-step equivalence above, on the knn path, for both current
+    gather-kernel generations (v2 one-hot / v3 neighbour-major) — in
+    particular the G step's need_wgrads=False backward specialization and
+    the Pallas select kernel feeding identical neighbour indices on both
+    sides of the comparison (tiny clouds have no near-ties at f32)."""
+    import dataclasses
+
+    monkeypatch.setenv("MPGAN_TPU_KNN_KERNEL", knn_kernel)
+    states = {}
+    for pallas in (False, True):
+        g_cfg, d_cfg = _tiny_gan(
+            n=10, hidden=8, dropout=0.0,
+            mp_args={"fully_connected": False, "num_knn": 4},
+        )
         g_cfg = dataclasses.replace(g_cfg, use_pallas=pallas)
         d_cfg = dataclasses.replace(d_cfg, use_pallas=pallas)
         spec = NoiseSpec((10, 8), 0.2)
