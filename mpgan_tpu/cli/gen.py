@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--output-file", type=str, default="./gen_jets.npy")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--mesh-shape", type=int, default=0,
+        help="shard generation over this many devices (0 = single device); "
+        "outputs are bit-identical to single-device (training/sampling.py)",
+    )
     ns = parser.parse_args(argv)
 
     args = from_args_txt(ns.g_args)
@@ -80,9 +85,21 @@ def main(argv: list[str] | None = None) -> None:
         rng = np.random.default_rng(ns.seed)
         labels = ds.jet_data[rng.choice(len(ds), size=ns.num_samples)]
 
+    mesh = None
+    if ns.mesh_shape:
+        from ..parallel.mesh import make_mesh
+
+        if ns.batch_size % ns.mesh_shape:
+            raise SystemExit(
+                f"--batch-size {ns.batch_size} not divisible by "
+                f"--mesh-shape {ns.mesh_shape}"
+            )
+        mesh = make_mesh(ns.mesh_shape)
+
     gen_jets = generate_multi_batch(
         suite.g_apply, suite.g_cfg, params, state, suite.noise,
         jax.random.PRNGKey(ns.seed), ns.num_samples, ns.batch_size, labels=labels,
+        mesh=mesh,
     ).astype(np.float64)
 
     # unnormalize (gen.py:127-133)

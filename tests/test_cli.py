@@ -95,6 +95,27 @@ def test_train_cli_smoke(tmp_path):
     assert (tmp_path / "cli_smoke" / "cli_smoke_args.txt").exists()
 
 
+def test_gen_cli_mesh_matches_single_device(tmp_path, reference_path):
+    """--mesh-shape on the gen CLI: sharded generation must be bit-identical
+    to the single-device run (every chip draws the full per-batch noise and
+    slices its rows, training/sampling.py)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from mpgan_tpu.cli.gen import main
+
+    common = [
+        "--g-args", str(reference_path / "trained_models/mp_g/args.txt"),
+        "--g-state", str(reference_path / "trained_models/mp_g/G_best_epoch.pt"),
+        "--num-samples", "48", "--batch-size", "16",
+    ]
+    out1, out8 = tmp_path / "single.npy", tmp_path / "mesh.npy"
+    main(common + ["--output-file", str(out1)])
+    main(common + ["--output-file", str(out8), "--mesh-shape", "8"])
+    np.testing.assert_array_equal(np.load(out8), np.load(out1))
+
+
 def test_gen_cli_from_torch_weights(tmp_path, reference_path):
     """gen CLI: reference mp_g torch checkpoint -> unnormalized jets npy
     (gen.py:85-145 protocol)."""
