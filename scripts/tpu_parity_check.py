@@ -188,16 +188,24 @@ def check_selection(name, b, n, f, k, seed=0, self_loops=True):
 
 
 def check_dropout_consistency(name, cfg, b, n, env_a, env_b, clabels=0,
-                              fne_np=False, tol=2e-2, seed=0):
+                              fne_np=False, tol=1e-4, seed=0):
     """COMPILED dropout-mask consistency across kernel variants: the
     stateless hash keys masks on the global (receiver, sender) pair id, so
     two blocking modes (dense: jets vs receiver mode) or two kernel
-    generations (knn: v2 vs v3 row orders) must produce the same train-mode
-    outputs/input-grads up to reduction-order noise. The fused-vs-jnp
-    ``check`` can't cover dropout (the jnp path draws different masks);
-    interpret-mode tests cover these pairs but cannot falsify Mosaic. knn
-    configs pin MPGAN_TPU_KNN_SELECT per ``check``'s isolation rule (the
-    select near-tie contract is checked separately)."""
+    generations (knn: v1/v2 vs v3 row orders) must produce the same
+    train-mode outputs/input-grads. The fused-vs-jnp ``check`` can't cover
+    dropout (the jnp path draws different masks); interpret-mode tests cover
+    these pairs but cannot falsify Mosaic. knn configs pin
+    MPGAN_TPU_KNN_SELECT per ``check``'s isolation rule (the select
+    near-tie contract is checked separately).
+
+    Runs at HIGHEST matmul precision: the contract under test is mask
+    identity, and at default (one-pass bf16) precision two kernels with
+    different reduction orders carry ~0.1-0.25 relative dx noise with
+    IDENTICAL masks (measured: v2-vs-v3 dx rel 0.118 at default, 1.6e-7 at
+    highest), which no flat bar can separate from a flipped mask. At
+    highest precision a single flipped mask is O(0.1); f32 reduction-order
+    noise is ~1e-6, so tol=1e-4 cleanly splits them."""
     import os
 
     x, mask, labels = _data(b, n, cfg.input_node_size, masked=True, seed=seed)
@@ -221,7 +229,8 @@ def check_dropout_consistency(name, cfg, b, n, env_a, env_b, clabels=0,
                 )
                 return jnp.sum(jnp.tanh(y)), y
 
-            (_, y), dx = jax.jit(jax.value_and_grad(f, has_aux=True))(x)
+            with jax.default_matmul_precision("highest"):
+                (_, y), dx = jax.jit(jax.value_and_grad(f, has_aux=True))(x)
             return np.asarray(y), np.asarray(dx)
         finally:
             for k, v in prev.items():
