@@ -361,14 +361,14 @@ def main() -> None:
     # MXU ceiling?
     jets_150_bf16, mfu_150_bf16, _ = bench_generator(p150, batch=b512, bf16=True)
     train_ms_150_dense_bf16 = bench_train_step(p150, batch=b128, bf16=True)
-    # knn gather-kernel v3 (neighbour-major rows, MPGAN_TPU_KNN_KERNEL=3):
-    # recorded alongside the default so the BENCH artifact carries the
+    # knn gather-kernel v2 (receiver-major one-hot rows, MPGAN_TPU_KNN_KERNEL=2):
+    # recorded alongside the v3 default so the BENCH artifact carries the
     # v2-vs-v3 comparison whichever is default (env read at trace time)
     prev_kk = os.environ.get("MPGAN_TPU_KNN_KERNEL")
-    os.environ["MPGAN_TPU_KNN_KERNEL"] = "3"
+    os.environ["MPGAN_TPU_KNN_KERNEL"] = "2"
     try:
-        jets_150_knn_v3, mfu_150_knn_v3, _ = bench_generator(p150, batch=b512, num_knn=knn20)
-        train_ms_150_knn_v3 = bench_train_step(p150, batch=b128, num_knn=knn20)
+        jets_150_knn_v2, mfu_150_knn_v2, _ = bench_generator(p150, batch=b512, num_knn=knn20)
+        train_ms_150_knn_v2 = bench_train_step(p150, batch=b128, num_knn=knn20)
     finally:
         if prev_kk is None:
             os.environ.pop("MPGAN_TPU_KNN_KERNEL", None)
@@ -404,13 +404,15 @@ def main() -> None:
             # (setup_training.py:826-834), fused gather-in-kernel path
             "jets_per_sec_150p_knn20": round(jets_150_knn, 1),
             "vs_baseline_150p_knn20": round(jets_150_knn / BASELINE_150P_JETS_PER_SEC, 2),
-            # v3 neighbour-major gather kernel (opt-in while v2 is default)
-            "jets_per_sec_150p_knn20_v3": round(jets_150_knn_v3, 1),
-            "vs_baseline_150p_knn20_v3": round(
-                jets_150_knn_v3 / BASELINE_150P_JETS_PER_SEC, 2
+            # v2 receiver-major gather kernel (the previous default, kept
+            # as the recorded ablation pair for the v3 neighbour-major
+            # default above)
+            "jets_per_sec_150p_knn20_v2": round(jets_150_knn_v2, 1),
+            "vs_baseline_150p_knn20_v2": round(
+                jets_150_knn_v2 / BASELINE_150P_JETS_PER_SEC, 2
             ),
-            "mfu_150p_knn20_v3": round(mfu_150_knn_v3, 3),
-            "train_step_ms_150p_knn20_v3_b128": round(train_ms_150_knn_v3, 2),
+            "mfu_150p_knn20_v2": round(mfu_150_knn_v2, 3),
+            "train_step_ms_150p_knn20_v2_b128": round(train_ms_150_knn_v2, 2),
             "jets_per_sec_150p_padfree_fe128_256": round(jets_150_pf, 1),
             "vs_baseline_150p_padfree": round(jets_150_pf / BASELINE_150P_JETS_PER_SEC, 2),
             "jets_per_sec_30p_gapt": round(jets_30_gapt, 1),

@@ -380,15 +380,19 @@ def _mp_layer_apply_fused_knn(
     back to the XLA search for ablations.
 
     Three gather-kernel generations exist, selected by
-    ``MPGAN_TPU_KNN_KERNEL`` (read at trace time; default ``"2"``):
+    ``MPGAN_TPU_KNN_KERNEL`` (read at trace time; default ``"3"``):
 
-    - ``"2"`` (default): first fe layer decomposed like the dense path
+    - ``"3"`` (default): first fe layer decomposed like the dense path
       (u1/u2 embeddings computed here, bias + per-jet conditioning folded
-      into u2), every in-kernel array 2-D with one-hot-matmul
-      gather/broadcast/aggregation — no Mosaic relayouts;
-    - ``"3"``: same decomposition on neighbour-major pair rows — receiver
-      broadcast and k-aggregation become aligned VPU copies/adds, only the
-      sender gather (and backward scatter) stays a one-hot MXU matmul;
+      into u2) on neighbour-major pair rows — receiver broadcast and
+      k-aggregation are aligned VPU copies/adds that overlap the hidden
+      chain's MXU passes; only the sender gather (and backward scatter)
+      is a one-hot MXU matmul. Measured at B=512/N=150/k=20: forward
+      kernel 3.62 ms vs v2's 4.79, generation 39.5k vs 32.8k jets/s
+      (+20%), train step 37.8 vs 45.4 ms (PERF.md round 3);
+    - ``"2"``: same decomposition, receiver-major rows, with the
+      broadcast and aggregation as one-hot MXU matmuls too (they compete
+      with the hidden chain for the MXU — v3's win);
     - ``"1"``: the round-2 kernel (raw ``[x_i, x_j, dists, cond]`` pair
       rows assembled in-kernel), kept for ablations."""
     from .knn_pallas import (
@@ -431,7 +435,7 @@ def _mp_layer_apply_fused_knn(
             jax.random.fold_in(rng, 1), (), 0, 2**30, dtype=jnp.int32
         ).astype(jnp.float32)
 
-    version = os.environ.get("MPGAN_TPU_KNN_KERNEL", "2")
+    version = os.environ.get("MPGAN_TPU_KNN_KERNEL", "3")
     if version != "1":
         # v2/v3: first-layer decomposition (dense-kernel style); v3 further
         # reorders pair rows neighbour-major so the receiver broadcast and

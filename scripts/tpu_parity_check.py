@@ -296,7 +296,7 @@ def main() -> int:
         b=32, n=30, clabels=1, fne_np=True,
     )
     ok &= check(
-        "knn-16 cond pos-diffs (v2 default: folded bias + w_d column)",
+        "knn-16 cond pos-diffs (v3 default: folded bias + w_d column)",
         mk(16, [24, 32], [32], 16, fully_connected=False, num_knn=16,
            pos_diffs=True, all_ef=True, clabels=1, mask_fne_np=True),
         b=32, n=30, clabels=1, fne_np=True,
@@ -321,19 +321,18 @@ def main() -> int:
         )
     finally:
         del os.environ["MPGAN_TPU_KNN_KERNEL"]
-    # the v3 (neighbour-major) gather kernel — receiver sublane padding,
-    # transposed idx/dists and id-matrix dropout keys are all layout changes
-    # only Mosaic can falsify
-    os.environ["MPGAN_TPU_KNN_KERNEL"] = "3"
+    # the v2 (receiver-major one-hot) gather kernel — the previous default,
+    # kept compiled-validated as the v3 ablation pair
+    os.environ["MPGAN_TPU_KNN_KERNEL"] = "2"
     try:
         ok &= check(
-            "knn-20 150p masked [v3 kernel]",
+            "knn-20 150p masked [v2 kernel]",
             mk(32, [96, 160, 192], [256, 256], 32, clabels=1,
                fully_connected=False, num_knn=20),
             b=16, n=150, clabels=1,
         )
         ok &= check(
-            "knn-16 cond pos-diffs [v3 kernel]",
+            "knn-16 cond pos-diffs [v2 kernel]",
             mk(16, [24, 32], [32], 16, fully_connected=False, num_knn=16,
                pos_diffs=True, all_ef=True, clabels=1, mask_fne_np=True),
             b=32, n=30, clabels=1, fne_np=True,
