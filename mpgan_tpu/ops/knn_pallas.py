@@ -284,6 +284,7 @@ def _bwd_kernel(
     offs = [offset, None if offset is None else offset + half]
     acts = [halves]  # acts[layer] = [half0, half1] inputs to layer
     pre = []
+    mults = []  # dropout multipliers, computed once, reused backward
     cur = halves
     for layer in range(num_layers):
         w = wb[2 * layer][:]
@@ -299,10 +300,10 @@ def _bwd_kernel(
         pre.append(zs)
         cur = [_leaky(z, alpha) for z in zs]
         if dropout_p > 0:
-            cur = [
-                c * _dropmul(c.shape, dropout_p, seed, layer, o)
-                for c, o in zip(cur, offs)
-            ]
+            mults.append(
+                [_dropmul(c.shape, dropout_p, seed, layer, o) for c, o in zip(cur, offs)]
+            )
+            cur = [c * m for c, m in zip(cur, mults[layer])]
         acts.append(cur)
 
     # ---- backward
@@ -318,10 +319,7 @@ def _bwd_kernel(
 
     for layer in range(num_layers - 1, -1, -1):
         if dropout_p > 0:
-            das = [
-                d * _dropmul(d.shape, dropout_p, seed, layer, o)
-                for d, o in zip(das, offs)
-            ]
+            das = [d * mults[layer][h] for h, d in enumerate(das)]
         dzs = [d * _dleaky(pre[layer][h], alpha) for h, d in enumerate(das)]
         w = wb[2 * layer][:].astype(jnp.float32)
         for h in (0, 1):
@@ -698,9 +696,13 @@ def _bwd_kernel_v2(num_hidden, alpha, sum_agg, tr, k, use_dists, dropout_p,
     half = rows // 2
     offs = [offset, None if offset is None else offset + half]
     pre1 = [z1[:half], z1[half:]]
+    mults = []  # dropout multipliers, computed once, reused backward
     a1 = [_leaky(c, alpha) for c in pre1]
     if dropout_p > 0:
-        a1 = [c * _dropmul(c.shape, dropout_p, seed, 0, o) for c, o in zip(a1, offs)]
+        mults.append(
+            [_dropmul(c.shape, dropout_p, seed, 0, o) for c, o in zip(a1, offs)]
+        )
+        a1 = [c * m for c, m in zip(a1, mults[0])]
     acts = [a1]  # acts[layer] = inputs to hidden layer `layer`
     pre = [pre1]
     cur = a1
@@ -718,10 +720,13 @@ def _bwd_kernel_v2(num_hidden, alpha, sum_agg, tr, k, use_dists, dropout_p,
         pre.append(zs)
         cur = [_leaky(z, alpha) for z in zs]
         if dropout_p > 0:
-            cur = [
-                c * _dropmul(c.shape, dropout_p, seed, layer + 1, o)
-                for c, o in zip(cur, offs)
-            ]
+            mults.append(
+                [
+                    _dropmul(c.shape, dropout_p, seed, layer + 1, o)
+                    for c, o in zip(cur, offs)
+                ]
+            )
+            cur = [c * m for c, m in zip(cur, mults[layer + 1])]
         acts.append(cur)
 
     # ---- backward
@@ -738,10 +743,7 @@ def _bwd_kernel_v2(num_hidden, alpha, sum_agg, tr, k, use_dists, dropout_p,
 
     for layer in range(num_hidden - 1, -1, -1):
         if dropout_p > 0:
-            das = [
-                d * _dropmul(d.shape, dropout_p, seed, layer + 1, o)
-                for d, o in zip(das, offs)
-            ]
+            das = [d * mults[layer + 1][h] for h, d in enumerate(das)]
         dzs = [d * _dleaky(pre[layer + 1][h], alpha) for h, d in enumerate(das)]
         w = wb[2 * layer][:].astype(jnp.float32)
         if need_wgrads:
@@ -761,7 +763,7 @@ def _bwd_kernel_v2(num_hidden, alpha, sum_agg, tr, k, use_dists, dropout_p,
         ]
 
     if dropout_p > 0:
-        das = [d * _dropmul(d.shape, dropout_p, seed, 0, o) for d, o in zip(das, offs)]
+        das = [d * mults[0][h] for h, d in enumerate(das)]
     dz1 = jnp.concatenate(
         [d * _dleaky(pre1[h], alpha) for h, d in enumerate(das)], axis=0
     )  # [rows, H1]
@@ -1128,12 +1130,13 @@ def _bwd_kernel_v3(num_hidden, alpha, sum_agg, np8, n, k, use_dists, dropout_p,
     ids = _v3_ids(np8, n, k) if dropout_p > 0 else None
     id_halves = [None, None] if ids is None else [ids[:half], ids[half:]]
     pre1 = [z1[:half], z1[half:]]
+    mults = []  # dropout multipliers, computed once, reused backward
     a1 = [_leaky(c, alpha) for c in pre1]
     if dropout_p > 0:
-        a1 = [
-            c * _dropmul_ids(c.shape, dropout_p, seed, 0, i)
-            for c, i in zip(a1, id_halves)
-        ]
+        mults.append(
+            [_dropmul_ids(c.shape, dropout_p, seed, 0, i) for c, i in zip(a1, id_halves)]
+        )
+        a1 = [c * m for c, m in zip(a1, mults[0])]
     acts = [a1]
     pre = [pre1]
     cur = a1
@@ -1151,10 +1154,13 @@ def _bwd_kernel_v3(num_hidden, alpha, sum_agg, np8, n, k, use_dists, dropout_p,
         pre.append(zs)
         cur = [_leaky(z, alpha) for z in zs]
         if dropout_p > 0:
-            cur = [
-                c * _dropmul_ids(c.shape, dropout_p, seed, layer + 1, i)
-                for c, i in zip(cur, id_halves)
-            ]
+            mults.append(
+                [
+                    _dropmul_ids(c.shape, dropout_p, seed, layer + 1, i)
+                    for c, i in zip(cur, id_halves)
+                ]
+            )
+            cur = [c * m for c, m in zip(cur, mults[layer + 1])]
         acts.append(cur)
 
     # ---- backward
@@ -1169,10 +1175,7 @@ def _bwd_kernel_v3(num_hidden, alpha, sum_agg, np8, n, k, use_dists, dropout_p,
 
     for layer in range(num_hidden - 1, -1, -1):
         if dropout_p > 0:
-            das = [
-                d * _dropmul_ids(d.shape, dropout_p, seed, layer + 1, i)
-                for d, i in zip(das, id_halves)
-            ]
+            das = [d * mults[layer + 1][h] for h, d in enumerate(das)]
         dzs = [d * _dleaky(pre[layer + 1][h], alpha) for h, d in enumerate(das)]
         w = wb[2 * layer][:].astype(jnp.float32)
         if need_wgrads:
@@ -1192,10 +1195,7 @@ def _bwd_kernel_v3(num_hidden, alpha, sum_agg, np8, n, k, use_dists, dropout_p,
         ]
 
     if dropout_p > 0:
-        das = [
-            d * _dropmul_ids(d.shape, dropout_p, seed, 0, i)
-            for d, i in zip(das, id_halves)
-        ]
+        das = [d * mults[0][h] for h, d in enumerate(das)]
     dz1 = jnp.concatenate(
         [d * _dleaky(pre1[h], alpha) for h, d in enumerate(das)], axis=0
     )  # [rows, H1]

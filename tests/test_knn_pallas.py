@@ -61,20 +61,18 @@ def test_fused_knn_gradients_match():
 
 def _hash_dropmul_jnp(shape, p, seed, salt, offset):
     """jnp re-derivation of the kernel's stateless dropout hash — pins the
-    hash semantics so fwd/bwd replay can be checked exactly."""
-    rows = jnp.broadcast_to(
-        jnp.arange(shape[0], dtype=jnp.uint32)[:, None] + jnp.uint32(offset), shape
-    )
-    cols = jnp.broadcast_to(jnp.arange(shape[1], dtype=jnp.uint32)[None, :], shape)
-    h = (
-        rows * jnp.uint32(0x9E3779B1)
-        + cols * jnp.uint32(0x85EBCA77)
+    hash semantics so fwd/bwd replay can be checked exactly (outer-sum
+    row/col keys + 3-op finisher, mp_pallas._dropmul)."""
+    rkey = (
+        (jnp.arange(shape[0], dtype=jnp.uint32)[:, None] + jnp.uint32(offset))
+        * jnp.uint32(0x9E3779B1)
         + jnp.uint32(seed) * jnp.uint32(0xC2B2AE3D)
         + jnp.uint32((salt * 0x27D4EB2F) & 0xFFFFFFFF)
     )
+    ckey = jnp.arange(shape[1], dtype=jnp.uint32)[None, :] * jnp.uint32(0x85EBCA77)
+    h = rkey + ckey
     h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
-    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
+    h = h ^ (h >> 15)
     thr = jnp.uint32(min(int(p * 2**32), 2**32 - 1))
     return jnp.where(h >= thr, 1.0 / (1.0 - p), 0.0)
 

@@ -201,3 +201,41 @@ def test_fused_dropout_grad_replay_cross_mode():
     fd = (float(f(u1 + eps * v)) - float(f(u1 - eps * v))) / (2 * eps)
     analytic = float(jnp.vdot(g, v))
     np.testing.assert_allclose(analytic, fd, rtol=2e-2, atol=1e-3)
+
+
+def test_dropout_hash_quality():
+    """Statistical contract of the stateless dropout hash (mp_pallas._dropmul,
+    outer-sum keys + 3-op finisher): exact-ish keep rate, and no visible
+    correlation between adjacent/strided rows, columns, seeds, or layer
+    salts. Guards the hash against cheapening past the point of usefulness
+    (the round-3 rewrite cut its VPU cost ~1.66x; this test is the quality
+    floor any future variant must clear)."""
+    rows, cols = 4096, 512
+
+    def keepmask(p, seed, salt, offset=0):
+        m = mpp._dropmul(
+            (rows, cols), p, jnp.asarray(seed, jnp.float32), salt,
+            jnp.asarray(offset, jnp.uint32),
+        )
+        return np.asarray(m) > 0
+
+    for p in (0.5, 0.2):
+        k = keepmask(p, 7, 0)
+        assert abs(k.mean() - (1 - p)) < 2e-3, (p, k.mean())
+
+    def corr(a, b):
+        a = a.ravel().astype(np.float64) - a.mean()
+        b = b.ravel().astype(np.float64) - b.mean()
+        return float((a * b).mean() / np.sqrt((a * a).mean() * (b * b).mean()))
+
+    k = keepmask(0.5, 99, 1).astype(np.float64)
+    assert abs(corr(k[:-1], k[1:])) < 0.01  # adjacent rows
+    assert abs(corr(k[:, :-1], k[:, 1:])) < 0.01  # adjacent cols
+    assert abs(corr(k[:-8], k[8:])) < 0.01  # sublane stride
+    assert abs(corr(k[:, :-128], k[:, 128:])) < 0.01  # lane stride
+    assert abs(corr(k, keepmask(0.5, 99, 2).astype(np.float64))) < 0.01  # salts
+    assert abs(corr(k, keepmask(0.5, 100, 1).astype(np.float64))) < 0.01  # seeds
+    # offset keying: shifting the global row offset by r shifts the mask by
+    # exactly r rows (the blocking-mode consistency contract)
+    k_off = keepmask(0.5, 99, 1, offset=16)
+    np.testing.assert_array_equal(k[16:], k_off[:-16])
