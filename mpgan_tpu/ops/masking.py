@@ -31,8 +31,17 @@ def mask_from_counts(x_sort_feature: jax.Array, num_jet_particles: jax.Array) ->
     """The ``mask_c`` assignment (mpgan/model.py:695-699).
 
     Ranks particles by ``x_sort_feature`` (``[B, N]``, typically the first
-    noise feature) via a double argsort; particles with rank <=
-    ``num_jet_particles`` (``[B]``, count minus one) get mask 1, the rest 0.
+    noise feature); particles with rank <= ``num_jet_particles`` (``[B]``,
+    count minus one) get mask 1, the rest 0.
+
+    Ranks come from a double argsort, like the reference. Measured on v5e
+    (scripts/glue_ablation.py): XLA's sort is already near-free here — two
+    sorts cost 0.011 ms at [4096, 30] and 0.022 ms at [512, 150] — and the
+    "TPU-friendlier" O(N^2) comparison-matrix rank (``rank_i = #{x_j < x_i}
+    + #{j < i : x_j == x_i}``) measured *slower* at 30p (0.055 ms) and equal
+    at 150p, so the argsort stays. Tie semantics (stable sort, ties broken
+    by original index) are pinned by
+    tests/test_ops.py::test_mask_from_counts_ties_match_stable_argsort.
 
     Returns a float mask of shape ``[B, N, 1]``.
     """

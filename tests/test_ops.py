@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from mpgan_tpu.ops.gather import one_hot_gather
 from mpgan_tpu.ops.linear import MLPConfig, mlp_apply, mlp_init
 from mpgan_tpu.ops.masking import counts_from_labels, mask_from_counts
 from mpgan_tpu.ops.spectral_norm import spectral_normalize
@@ -90,6 +91,40 @@ def test_mask_from_counts_matches_reference_trick(torch):
     np.testing.assert_array_equal(ours, ref)
     # each jet has exactly count real particles
     np.testing.assert_array_equal(ours.sum(1), (labels * 30).astype(np.int32))
+
+
+def test_mask_from_counts_ties_match_stable_argsort():
+    # the comparison-matrix rank must break exact-equality ties by original
+    # index, exactly like the stable double argsort it replaces (relevant
+    # for bf16 noise, where ties are likelier)
+    rng = np.random.RandomState(7)
+    x0 = np.round(rng.randn(8, 30) * 2).astype(np.float32) / 2  # many duplicates
+    njp = jnp.asarray(rng.randint(0, 30, size=(8,)), jnp.int32)
+    ours = np.asarray(mask_from_counts(jnp.asarray(x0), njp))[:, :, 0]
+    ranks = jnp.argsort(jnp.argsort(jnp.asarray(x0), axis=1, stable=True), axis=1, stable=True)
+    ref = np.asarray((ranks <= njp[:, None]).astype(jnp.float32))
+    np.testing.assert_array_equal(ours, ref)
+    np.testing.assert_array_equal(ours.sum(1), np.asarray(njp) + 1)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("idx_shape", [(7, 12), (7, 5, 4)])
+def test_one_hot_gather_bit_identical_to_take_along_axis(dtype, idx_shape):
+    # the one-hot matmul gather replaces every device-side take_along_axis
+    # (ops/gather.py); its contract is BIT-identical values for finite
+    # sources, in f32 (HIGHEST-precision split recombines exactly) and bf16
+    rng = np.random.RandomState(11)
+    src = jnp.asarray(rng.randn(7, 9, 6).astype(np.float32)).astype(dtype)
+    idx = jnp.asarray(rng.randint(0, 9, size=idx_shape), jnp.int32)
+    ours = one_hot_gather(src, idx)
+    flat = idx.reshape(7, -1)
+    ref = jnp.take_along_axis(src, flat[..., None], axis=1).reshape(
+        *idx_shape, src.shape[-1]
+    )
+    assert ours.dtype == src.dtype
+    np.testing.assert_array_equal(
+        np.asarray(ours, np.float32), np.asarray(ref, np.float32)
+    )
 
 
 def test_mlp_dropout_and_bn():
