@@ -1,9 +1,20 @@
 """Frechet distances on physics features.
 
 ``fpd`` — the Frechet Physics Distance (arXiv:2211.10295): Frechet/Gaussian
-distance between real and generated distributions of the 20 EFPs of degree
-<= 4, with features standardized by the real-sample moments. The reference
-wires FPD into best-epoch selection (train.py:794-809).
+distance between real and generated distributions of the full degree <= 4
+EFP set — 20 primes plus 15 composite products, the 35 non-constant columns
+of energyflow's ``("d<=", 4)`` basis that the reference feeds it via
+``jetnet.utils.efps`` (train.py:750-755) — with features standardized by the
+real-sample moments. The reference wires FPD into best-epoch selection
+(train.py:794-809).
+
+Constant-column convention: energyflow's ``("d<=", 4)`` EFPSet contains one
+degree-0 graph whose value is identically 1; we drop it. A constant column
+contributes exactly zero to the Frechet distance (zero mean difference, zero
+variance, zero cross-covariance), so FPD values are numerically identical
+with or without it — only the SET of non-constant features must match the
+protocol for comparability, and columns may appear in any consistent order
+(the distance is permutation-invariant).
 
 ``fgd_inf`` — the bias-corrected FGD-infinity estimator from the same paper:
 FGD is computed at several batch sizes and linearly extrapolated in 1/N to
@@ -103,13 +114,15 @@ def fpd(
     real_efps: np.ndarray | None = None,
     gen_efps: np.ndarray | None = None,
 ) -> tuple[float, float]:
-    """Frechet Physics Distance: FGD-infinity on standardized d<=4 EFPs.
-    Pass precomputed ``*_efps`` to reuse the reference's EFP cache pattern
-    (train.py:744-757). Returns ``(value, std)``."""
+    """Frechet Physics Distance: FGD-infinity on the standardized full
+    d<=4 EFP basis (35 columns: 20 primes + 15 composites; see module
+    docstring for the constant-column convention). Pass precomputed
+    ``*_efps`` to reuse the reference's EFP cache pattern (train.py:744-757).
+    Returns ``(value, std)``."""
     if real_efps is None:
-        real_efps = efps(real_jets, select="d<=4")
+        real_efps = efps(real_jets, select="d<=4-all")
     if gen_efps is None:
-        gen_efps = efps(gen_jets, select="d<=4")
+        gen_efps = efps(gen_jets, select="d<=4-all")
     mean, std = real_efps.mean(axis=0), real_efps.std(axis=0)
     std = np.where(std > 0, std, 1.0)
     real_n = (real_efps - mean) / std

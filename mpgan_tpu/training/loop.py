@@ -533,7 +533,7 @@ class Trainer:
             self.losses["cov_mmd"].append([cov, mmd])
         if "fpd" in self.eval_keys:
             real_efps = self._cached_real_efps(real_jets)
-            gen_efps = efps(gen_jets, select="d<=4")
+            gen_efps = efps(gen_jets, select="d<=4-all")
             bad = ~np.isfinite(gen_efps).all(axis=1)
             if bad.any():
                 # unphysical early-training jets (negative pT -> unbounded
@@ -542,7 +542,7 @@ class Trainer:
                 # recompute those jets that way to stay comparable
                 # (train.py:744-757) — only the affected rows, the f64 CPU
                 # path costs minutes at full eval size
-                gen_efps[bad] = efps(gen_jets[bad], select="d<=4", use_jax=False)
+                gen_efps[bad] = efps(gen_jets[bad], select="d<=4-all", use_jax=False)
             fpd_val, fpd_std = fpd(
                 real_jets, gen_jets, real_efps=real_efps, gen_efps=gen_efps,
                 min_samples=min(5000, n_eval // 2), max_samples=min(20000, n_eval),
@@ -588,12 +588,15 @@ class Trainer:
         real subset of the same length, so reusing the first-n cache would
         standardize FPD against jets that are not being evaluated."""
         mode = f"_shuf{self.args.seed}" if self.args.get("eval_shuffle") else ""
-        cache = self.out_dir / f"real_efps_{self.args.jets}{mode}.npy"
+        # "d4all" key: the FPD basis moved from 20 primes to the full 35-col
+        # d<=4 set (primes+composites) — a stale prime-only cache must not be
+        # standardizing the new features
+        cache = self.out_dir / f"real_efps_d4all_{self.args.jets}{mode}.npy"
         if cache.exists():
             arr = np.load(cache)
             if len(arr) == len(real_jets):
                 return arr
-        arr = efps(real_jets, select="d<=4")
+        arr = efps(real_jets, select="d<=4-all")
         np.save(cache, arr)
         return arr
 

@@ -58,4 +58,45 @@ else
     echo "  Copy it from a jetnet install:"
     echo "  python -c 'import jetnet, pathlib; p = pathlib.Path(jetnet.__file__).parent; print(next(p.rglob(\"pnet_state_dict.pt\")))'"
 fi
+
+echo "== 4/4 FPD protocol cross-check vs jetnet.evaluation.fpd =="
+if python -c "import jetnet" 2>/dev/null; then
+    python - <<'EOF'
+# Numerical diff of this repo's fpd() against the published implementation
+# (jetnet.evaluation.fpd, arXiv:2211.10295; reference train.py:750-755).
+# Basis: jetnet feeds the energyflow ("d<=", 4) EFPSet (36 cols incl. the
+# degree-0 constant); we compute the same 35 non-constant columns natively
+# (order differs — Frechet distance is permutation-invariant; the constant
+# contributes exactly 0, tests/test_data_eval.py pins both facts).
+import numpy as np
+import jetnet
+
+from mpgan_tpu.data.jetnet import synthetic_jets
+from mpgan_tpu.evaluation import fpd
+
+real, _ = synthetic_jets("g", 20000, 30, seed=1)
+gen, _ = synthetic_jets("g", 20000, 30, seed=2)
+gen[..., 0] *= 1.2  # make the distance nonzero
+
+ours, ours_std = fpd(real[..., :3], gen[..., :3],
+                     min_samples=5000, max_samples=20000)
+re_efps = jetnet.utils.efps(real[..., :3], efpset_args=[("d<=", 4)])
+ge_efps = jetnet.utils.efps(gen[..., :3], efpset_args=[("d<=", 4)])
+theirs, theirs_std = jetnet.evaluation.fpd(
+    np.nan_to_num(re_efps), np.nan_to_num(ge_efps),
+    min_samples=5000, max_samples=20000)
+rel = abs(ours - theirs) / max(abs(theirs), 1e-12)
+print(f"ours   = {ours:.6g} +- {ours_std:.2g}")
+print(f"jetnet = {theirs:.6g} +- {theirs_std:.2g}")
+print(f"relative difference = {rel:.4f}")
+# identical protocol, independent EFP engines + subsampling rngs: agreement
+# expected within the estimators' own error bars (a few sigma)
+tol = 5 * max(ours_std, theirs_std) / max(abs(theirs), 1e-12) + 0.02
+assert rel < tol, f"FPD mismatch: rel {rel} > tol {tol}"
+print("FPD cross-check OK")
+EOF
+else
+    echo "SKIP: jetnet not importable in this environment."
+    echo "  pip install jetnet, then re-run this script."
+fi
 echo "== fidelity runner complete =="

@@ -159,6 +159,66 @@ def test_fpd_discriminates():
     assert v_diff > v_same
 
 
+def test_fpd_protocol_full_d4_basis():
+    """FPD protocol contract (train.py:750-755 via jetnet.utils.efps with
+    energyflow ``("d<=", 4)``): the features are the FULL 35-column d<=4
+    basis — 20 primes + 15 composite products — not the primes alone.
+
+    (a) ``fpd()`` defaults reproduce an explicit ``d<=4-all`` computation
+        bit-for-bit; (b) the prime-only value genuinely differs (a Frechet
+        distance is not invariant to dropping features), pinning that the
+        wiring matters; (c) hand-built composite columns (products of prime
+        columns) fed directly into the Frechet distance agree with (a)."""
+    from mpgan_tpu.evaluation.efp import efp_composites, efps
+
+    real, _ = synthetic_jets("g", 3000, 20, seed=3)
+    fake, _ = synthetic_jets("g", 3000, 20, seed=4)
+    fake[..., 0] *= 1.3
+    real, fake = real[..., :3], fake[..., :3]
+    kw = dict(min_samples=800, max_samples=2400)
+
+    v_default, _ = fpd(real, fake, **kw)
+    re_all = efps(real, select="d<=4-all")
+    ge_all = efps(fake, select="d<=4-all")
+    v_explicit, _ = fpd(real, fake, real_efps=re_all, gen_efps=ge_all, **kw)
+    assert v_default == v_explicit
+
+    re_p = efps(real, select="d<=4")
+    ge_p = efps(fake, select="d<=4")
+    v_primes, _ = fpd(real, fake, real_efps=re_p, gen_efps=ge_p, **kw)
+    assert v_default != v_primes
+
+    # (c) rebuild the composite columns by hand from the prime columns
+    comp = efp_composites(4)
+    re_hand = np.concatenate(
+        [re_p] + [np.prod(re_p[:, list(c)], axis=1, keepdims=True) for c in comp], axis=1
+    )
+    ge_hand = np.concatenate(
+        [ge_p] + [np.prod(ge_p[:, list(c)], axis=1, keepdims=True) for c in comp], axis=1
+    )
+    v_hand, _ = fpd(real, fake, real_efps=re_hand, gen_efps=ge_hand, **kw)
+    np.testing.assert_allclose(v_hand, v_default, rtol=1e-9)
+
+
+def test_fpd_invariant_to_constant_column():
+    """The constant-column convention (fpd.py module docstring): energyflow's
+    d<=4 set carries a degree-0 constant EFP we drop; appending a constant
+    column to both sides must not change the distance (zero mean-diff, zero
+    (co)variance), so 35-col values are comparable to 36-col protocol runs."""
+    from mpgan_tpu.evaluation.fpd import fgd_inf
+
+    rng = np.random.default_rng(7)
+    real = rng.normal(size=(3000, 35))
+    gen = rng.normal(loc=0.15, size=(3000, 35))
+    kw = dict(min_samples=800, max_samples=2400, num_batches=5)
+    base, _ = fgd_inf(real, gen, **kw)
+    ones = np.ones((3000, 1))
+    with_const, _ = fgd_inf(
+        np.concatenate([real, ones], 1), np.concatenate([gen, ones], 1), **kw
+    )
+    np.testing.assert_allclose(with_const, base, rtol=1e-7, atol=1e-9)
+
+
 def test_cov_mmd():
     real, _ = synthetic_jets("g", 500, 10, seed=1)
     real2, _ = synthetic_jets("g", 500, 10, seed=2)
