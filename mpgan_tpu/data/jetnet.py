@@ -42,7 +42,13 @@ def synthetic_jets(
     and a realistic multiplicity distribution. Returns
     ``(particle_features [B, N, 4], jet_features [B, 1] = num_particles)``.
     """
-    rng = np.random.default_rng(seed + hash(jet_type) % 1000)
+    # zlib.crc32, NOT hash(): str hashes are salted per process
+    # (PYTHONHASHSEED), which made synthetic datasets — and everything
+    # downstream, e.g. the multichip dryrun's scanned-epoch loss —
+    # nondeterministic across process boundaries
+    import zlib
+
+    rng = np.random.default_rng(seed + zlib.crc32(jet_type.encode()) % 1000)
     spread = {"g": 0.22, "q": 0.18, "t": 0.35, "w": 0.28, "z": 0.28}.get(jet_type, 0.25)
     # multiplicity: gluon jets are busier than quark jets; tops in between
     mean_frac = {"g": 0.8, "q": 0.55, "t": 0.85, "w": 0.7, "z": 0.7}.get(jet_type, 0.7)

@@ -132,60 +132,30 @@ class Trainer:
         )
         if mesh is None and args.get("mesh_shape"):
             mesh = make_mesh(int(args.mesh_shape))  # CLI passes a string
-        d_step, g_step = make_train_steps(
-            step_cfg=step_cfg,
-            g_apply=self.suite.g_apply,
-            d_apply=self.suite.d_apply,
-            g_cfg=self.suite.g_cfg,
-            d_cfg=self.suite.d_cfg,
-            spec=self.suite.noise,
-            g_opt=g_opt,
-            d_opt=d_opt,
-            use_labels=self.use_labels,
-            encode_real=self.suite.encode_real,
-            post_gen=self.suite.post_gen,
-            pmean_axis="data" if mesh is not None else None,
-        )
-
-        def dg_step(state, *batch):
-            state, dm = d_step(state, *batch)
-            state, gm = g_step(state, *batch)
-            return state, {**dm, **gm}
-
-        n_batch_args = 2 if self.use_labels else 1
-        self.dg_step = None
+        self._step_cfg = step_cfg
         self._mesh = mesh
-        # device-side epoch loop (single-chip num_critic=num_gen=1 regime):
-        # lax.scan over per-epoch batch permutations with the dataset staged
-        # on device once — ONE dispatch + ONE host sync per epoch. Each
-        # per-batch dispatch over the remote tunnel costs ~4 ms H2D + a
-        # multi-output execute ack; at 54 steps/epoch that tripled epoch
-        # wall time (2.3 s -> 0.9 s measured at 30p B=256).
-        self._dg_step_fn = dg_step if (args.num_critic == 1 and args.num_gen == 1) else None
-        self._d_step_fn, self._g_step_fn = d_step, g_step  # raw (unjitted)
-        self._epoch_scan = None
         self._staged = None  # (device data, device labels)
         self._staged_loader = None  # loader the staging came from
-        if mesh is not None:
-            # per-shard execution via shard_map: the fused Pallas kernels run
-            # locally on every chip, gradients pmean over ICI
-            self.d_step = shard_map_step(
-                d_step, mesh, num_batch_args=n_batch_args, donate_state=False
-            )
-            self.g_step = shard_map_step(
-                g_step, mesh, num_batch_args=n_batch_args, donate_state=False
-            )
-            if args.num_critic == 1 and args.num_gen == 1:
-                self.dg_step = shard_map_step(
-                    dg_step, mesh, num_batch_args=n_batch_args, donate_state=False
-                )
-        else:
-            self.d_step = jax.jit(d_step)
-            self.g_step = jax.jit(g_step)
-            if args.num_critic == 1 and args.num_gen == 1:
-                # one dispatch per batch (D+G fused) — halves per-step launch
-                # overhead (train.py runs both every batch in this regime)
-                self.dg_step = jax.jit(dg_step)
+        # delayed masking (old_model.py:268-269): legacy Graph_GAN configs
+        # compare a model-epoch against ``mask_epoch`` before enabling masks.
+        # The comparison gates *structure* (whether a mask array is threaded
+        # through the MP layers), so the epoch must be trace-static — the
+        # steps are rebuilt (one retrace) exactly when a threshold is
+        # crossed. NOTE the reference's own training never exercises this:
+        # train.py's train_D/train_G accept ``epoch`` (train.py:412,490,
+        # passed at 855,876) but never forward it into ``D(...)``/``gen()``,
+        # so reference forwards always run with the epoch=0 default and
+        # ``--mask-epoch > 0`` silently keeps masking off forever. This
+        # implements old_model.py's documented semantics instead.
+        self._mask_thresholds = sorted(
+            {
+                int(getattr(cfg, "mask_epoch", 0))
+                for cfg in (self.suite.g_cfg, self.suite.d_cfg)
+                if int(getattr(cfg, "mask_epoch", 0)) > 0
+            }
+        )
+        self._steps_phase: int | None = None
+        self._build_steps(self._epoch_phase(self.start_epoch))
 
         # resume (setup_training.py:1138-1152)
         self.state = init_train_state(
@@ -235,6 +205,92 @@ class Trainer:
                 self.best_epoch = arr.tolist()
             else:
                 logger.info("best epoch file not found")
+
+    # -- step construction ---------------------------------------------------
+
+    def _epoch_phase(self, model_epoch: int) -> int:
+        """Representative static epoch for trace purposes: the largest
+        ``mask_epoch`` threshold already crossed (0 before any). Two configs
+        with different thresholds flip independently because
+        ``phase >= t  <=>  model_epoch >= t`` for every threshold ``t``."""
+        return max([0] + [t for t in self._mask_thresholds if t <= model_epoch])
+
+    def _wrap_epoch_aware(self, apply_fn, cfg, model_epoch: int):
+        if int(getattr(cfg, "mask_epoch", 0)) <= 0:
+            return apply_fn
+
+        def wrapped(cfg_, params, state, x, labels, **kw):
+            return apply_fn(cfg_, params, state, x, labels, epoch=model_epoch, **kw)
+
+        return wrapped
+
+    def _build_steps(self, epoch_phase: int) -> None:
+        """(Re)build + (re)jit the train-step functions for a given static
+        masking phase. Called once at construction and again whenever
+        training crosses a ``mask_epoch`` threshold (legacy delayed masking,
+        old_model.py:268-269) — each crossing costs one retrace."""
+        args = self.args
+        mesh = self._mesh
+        if self._steps_phase == epoch_phase:
+            return
+        self._steps_phase = epoch_phase
+        # eval generation uses the same phase so a model past its mask_epoch
+        # also masks at eval time (a fresh wrapper per crossing keys a fresh
+        # compiled sampler in sampling's fn-identity cache)
+        self._g_apply_eval = self._wrap_epoch_aware(
+            self.suite.g_apply, self.suite.g_cfg, epoch_phase
+        )
+        d_step, g_step = make_train_steps(
+            step_cfg=self._step_cfg,
+            g_apply=self._g_apply_eval,
+            d_apply=self._wrap_epoch_aware(self.suite.d_apply, self.suite.d_cfg, epoch_phase),
+            g_cfg=self.suite.g_cfg,
+            d_cfg=self.suite.d_cfg,
+            spec=self.suite.noise,
+            g_opt=self.g_opt,
+            d_opt=self.d_opt,
+            use_labels=self.use_labels,
+            encode_real=self.suite.encode_real,
+            post_gen=self.suite.post_gen,
+            pmean_axis="data" if mesh is not None else None,
+        )
+
+        def dg_step(state, *batch):
+            state, dm = d_step(state, *batch)
+            state, gm = g_step(state, *batch)
+            return state, {**dm, **gm}
+
+        n_batch_args = 2 if self.use_labels else 1
+        self.dg_step = None
+        # device-side epoch loop (single-chip num_critic=num_gen=1 regime):
+        # lax.scan over per-epoch batch permutations with the dataset staged
+        # on device once — ONE dispatch + ONE host sync per epoch. Each
+        # per-batch dispatch over the remote tunnel costs ~4 ms H2D + a
+        # multi-output execute ack; at 54 steps/epoch that tripled epoch
+        # wall time (2.3 s -> 0.9 s measured at 30p B=256).
+        self._dg_step_fn = dg_step if (args.num_critic == 1 and args.num_gen == 1) else None
+        self._d_step_fn, self._g_step_fn = d_step, g_step  # raw (unjitted)
+        self._epoch_scan = None  # captures the step fns — rebuild with them
+        if mesh is not None:
+            # per-shard execution via shard_map: the fused Pallas kernels run
+            # locally on every chip, gradients pmean over ICI
+            self.d_step = shard_map_step(
+                d_step, mesh, num_batch_args=n_batch_args, donate_state=False
+            )
+            self.g_step = shard_map_step(
+                g_step, mesh, num_batch_args=n_batch_args, donate_state=False
+            )
+            if args.num_critic == 1 and args.num_gen == 1:
+                self.dg_step = shard_map_step(
+                    dg_step, mesh, num_batch_args=n_batch_args, donate_state=False
+                )
+        else:
+            self.d_step = jax.jit(d_step)
+            self.g_step = jax.jit(g_step)
+            if args.num_critic == 1 and args.num_gen == 1:
+                # one dispatch per batch (D+G fused) — halves per-step launch
+                # overhead (train.py runs both every batch in this regime)
+                self.dg_step = jax.jit(dg_step)
 
     # -- one epoch (train.py:812-886) ---------------------------------------
 
@@ -379,6 +435,10 @@ class Trainer:
 
     def train_epoch(self, epoch: int, loader: BatchLoader) -> dict[str, float]:
         args = self.args
+        # the reference's model-epoch is 0-based (train.py:855,876 pass
+        # ``epoch - 1``); rebuild the steps iff a mask_epoch threshold is
+        # crossed (no-op for every non-legacy config)
+        self._build_steps(self._epoch_phase(epoch - 1))
         if len(loader) == 0:
             raise ValueError(
                 f"training dataset ({loader.n} samples) is smaller than the "
@@ -501,7 +561,7 @@ class Trainer:
         labels = ds.jet_data[sel] if self.use_labels else None
         post_fn = self._eval_post_fn
         gen_norm = generate_multi_batch(
-            self.suite.g_apply, self.suite.g_cfg,
+            self._g_apply_eval, self.suite.g_cfg,
             self.state.g_params, self.state.g_state,
             self.suite.noise, jax.random.PRNGKey(epoch), n_eval, args.batch_size,
             labels=labels, post_fn=post_fn, mesh=self._mesh,

@@ -448,3 +448,59 @@ def test_scan_gate_requires_drop_remainder(tmp_path):
     np.testing.assert_array_equal(
         seq.epoch_batch_indices().ravel(), np.arange(13 * 32)
     )
+
+
+def test_old_mpgan_mask_epoch_flips_masking(tmp_path):
+    """Legacy delayed masking (old_model.py:268-269): with --mask-epoch 2,
+    masking must switch on exactly when the 0-based model epoch reaches 2,
+    i.e. at the third training epoch. (The reference's own train loop never
+    forwards its epoch into the models — train.py:426,490 call D()/gen()
+    without it — so this implements old_model's documented semantics; see
+    Trainer._build_steps.) Observable: a mask_learn generator appends the
+    mask column (old_model.py:426) only once masking is on, so its output
+    goes [B, N, 3] -> [B, N, 4] at the crossing."""
+    import jax
+
+    from mpgan_tpu.data.loader import BatchLoader
+
+    args = _tiny_args(
+        tmp_path,
+        model="old_mpgan",
+        model_D="old_mpgan",
+        mask_learn=True,
+        mask_epoch=2,
+        fmg=[8],
+        fnd=[8],
+        num_epochs=3,
+        save_epochs=10,
+        save_model_epochs=10,
+        fpd=False,
+    )
+    train_ds, valid_ds = _datasets()
+    trainer = Trainer(args, train_dataset=train_ds, valid_dataset=valid_ds)
+    loader = BatchLoader(
+        train_ds.particle_data, None, batch_size=args.batch_size, shuffle=True, seed=0
+    )
+
+    def gen_cols():
+        noise, _ = trainer.suite.noise.sample(jax.random.PRNGKey(0), 4, np.float32)
+        out, _ = trainer._g_apply_eval(
+            trainer.suite.g_cfg, trainer.state.g_params, trainer.state.g_state, noise, None
+        )
+        return out.shape[-1]
+
+    assert trainer._steps_phase == 0
+    assert gen_cols() == 3  # masking off before the threshold
+
+    trainer.train_epoch(1, loader)  # model epoch 0
+    step_ids = (id(trainer.d_step), id(trainer.g_step))
+    trainer.train_epoch(2, loader)  # model epoch 1 — still below threshold
+    assert trainer._steps_phase == 0
+    assert (id(trainer.d_step), id(trainer.g_step)) == step_ids  # no rebuild
+    assert gen_cols() == 3
+
+    trainer.train_epoch(3, loader)  # model epoch 2 == mask_epoch: flips ON
+    assert trainer._steps_phase == 2
+    assert (id(trainer.d_step), id(trainer.g_step)) != step_ids
+    assert gen_cols() == 4  # mask column appended (old_model.py:426)
+    assert all(np.isfinite(v) for v in (trainer.losses["G"] + trainer.losses["D"]))
