@@ -137,6 +137,173 @@ def knn_select(x1: jax.Array, x2: jax.Array, k: int, self_loops: bool = True) ->
     )(x1, x2)
 
 
+def _select_nm_kernel(k: int, self_loops: bool, want_dists: bool, np8: int, *refs):
+    """Fused neighbour search for one jet, emitting **neighbour-major**
+    (v3-layout) outputs: indices ``[k*NP8, 1]`` and, when ``want_dists``,
+    the exact reference edge distances ``[k*NP8, 1]``.
+
+    Same search as :func:`_select_kernel` (norm-augmented MXU distance
+    matmul + index-in-mantissa min-extraction passes), with two fusions on
+    top that remove the XLA glue between the select and gather kernels
+    (mpgan/model.py:347-372 is the reference's sort+gather equivalent):
+
+    - each extraction pass's equality mask ``keyed == m`` IS the one-hot
+      row block of the selected neighbours, so the distance gather
+      ``x2g = onehot @ x2`` runs here in VMEM and the exact reference
+      distance ``norm(x2g - x1 + 1e-12)`` (mpgan/model.py:304-306 formula)
+      is computed without writing indices to HBM and re-one-hotting them
+      in XLA (one ``one_hot_gather`` + norm per layer saved),
+    - rows come out neighbour-major and receiver-padded exactly as the v3
+      gather kernel consumes them, killing the two ``[B,N,k] -> [B,k*NP8,1]``
+      XLA transposes per layer (``_v3_operands``).
+
+    Receiver rows ``r >= n`` are zero-padded: their selections/distances are
+    garbage but every consumer slices or zero-masks them (see
+    ``_v3_ids`` / ``_fwd_kernel_v3``).
+    """
+    x1_ref, x2_ref = refs[0], refs[1]
+    idx_ref = refs[2]
+    dists_ref = refs[3] if want_dists else None
+    n = x2_ref.shape[1]
+    x1 = x1_ref[0].astype(jnp.float32)  # [NP8, C] receivers (unscaled, padded)
+    x2 = x2_ref[0].astype(jnp.float32)  # [N, C] senders (mask-pushed)
+    sq1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
+    sq2 = jnp.sum(x2 * x2, axis=-1, keepdims=True)
+    a = jnp.concatenate([-2.0 * x1, jnp.ones_like(sq1)], axis=-1)
+    bb = jnp.concatenate([x2, sq2], axis=-1)
+    d = (
+        jax.lax.dot_general(
+            a, bb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # see _select_kernel
+        )
+        + sq1
+    )  # [NP8, N]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (np8, n), 1)
+    bits = max(8, (n - 1).bit_length())
+    keyed = (
+        jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
+        & jnp.int32(~((1 << bits) - 1))
+    ) | cols
+    imax = jnp.int32(0x7FFFFFFF)
+    start = 0 if self_loops else 1
+    idx_blocks = []
+    oh_blocks = []
+    for s in range(k + start):
+        m = jnp.min(keyed, axis=-1, keepdims=True)
+        if s >= start:
+            idx_blocks.append(m & jnp.int32((1 << bits) - 1))
+            if want_dists:
+                # keys are unique per row (index in mantissa), so this is
+                # exactly one 1.0 per row — the s-th neighbour's one-hot
+                oh_blocks.append((keyed == m).astype(jnp.float32))
+        keyed = jnp.where(keyed == m, imax, keyed)
+    idx_ref[0] = jnp.concatenate(idx_blocks, axis=0).astype(idx_ref.dtype)
+    if want_dists:
+        onehot = jnp.concatenate(oh_blocks, axis=0)  # [k*NP8, N]
+        # HIGHEST => bit-identical to take_along_axis (ops/gather.py)
+        x2g = jax.lax.dot_general(
+            onehot, x2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )  # [k*NP8, C]
+        x1r = jnp.concatenate([x1] * k, axis=0)
+        # the reference's exact formula: norm(x2 - x1 + 1e-12) per component
+        # (mpgan/model.py:304-306); same op order as the XLA glue it replaces
+        diffs = x2g - x1r + 1e-12
+        dists_ref[0] = jnp.sqrt(jnp.sum(diffs * diffs, axis=-1, keepdims=True)).astype(
+            dists_ref.dtype
+        )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def knn_select_nm(
+    x1: jax.Array, x2: jax.Array, k: int, self_loops: bool, want_dists: bool
+):
+    """Fused neighbour search + edge-distance computation, neighbour-major.
+
+    Returns ``(idx [B, k*NP8, 1] int32, dists [B, k*NP8, 1] f32 | None)`` in
+    the v3 gather kernel's native layout (``premajor=True``), where
+    ``NP8 = _pad_senders(N)``. The selected k-set and the distances are
+    value-identical to :func:`knn_select` + ``one_hot_gather`` + reference
+    norm (mpgan/model.py:347-372); see ``_select_nm_kernel``.
+
+    Differentiation contract (matches the reference, where sort indices are
+    detached but gathered distances carry gradients): ``idx`` is
+    non-differentiable; ``dists`` backpropagates into ``x1``/``x2`` through
+    the norm + gather with the selection held fixed. The backward runs in
+    XLA (one ``one_hot_gather`` + norm VJP), costing exactly what the
+    forward glue this kernel replaces used to cost — i.e. the fusion is
+    pure profit in eval/generation and neutral-or-better in training.
+    """
+    return _select_nm_impl(x1, x2, k, self_loops, want_dists)
+
+
+def _select_nm_impl(x1, x2, k, self_loops, want_dists):
+    b_sz, n, c = x1.shape
+    if k + (0 if self_loops else 1) > n:
+        raise ValueError(
+            f"knn_select_nm: k={k} (+{0 if self_loops else 1} dropped self) "
+            f"exceeds the {n} available senders"
+        )
+    np8 = _pad_senders(n)
+    x1p = jnp.pad(x1, ((0, 0), (0, np8 - n), (0, 0))) if np8 > n else x1
+    kernel = functools.partial(_select_nm_kernel, k, self_loops, want_dists, np8)
+    out_shape = [jax.ShapeDtypeStruct((b_sz, k * np8, 1), jnp.int32)]
+    out_specs = [
+        pl.BlockSpec((1, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    if want_dists:
+        out_shape.append(jax.ShapeDtypeStruct((b_sz, k * np8, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b_sz,),
+        in_specs=[
+            pl.BlockSpec((1, np8, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x1p, x2)
+    return (outs[0], outs[1]) if want_dists else (outs[0], None)
+
+
+def _select_nm_vjp_fwd(x1, x2, k, self_loops, want_dists):
+    out = knn_select_nm(x1, x2, k, self_loops, want_dists)
+    return out, (x1, x2, out[0])
+
+
+def _select_nm_vjp_bwd(k, self_loops, want_dists, res, g):
+    x1, x2, idx_t = res
+    ddists = g[1]
+    if not want_dists or ddists is None:
+        return jnp.zeros_like(x1), jnp.zeros_like(x2)
+    from .gather import one_hot_gather
+
+    b_sz, n, _ = x1.shape
+    np8 = _pad_senders(n)
+    # neighbour-major [B, k*NP8, 1] -> receiver-major [B, N, k] (padded
+    # receiver rows carry zero cotangents — the gather kernel's g is
+    # zero-padded — so slicing them off drops exact zeros)
+    idx = jnp.swapaxes(idx_t.reshape(b_sz, k, np8)[:, :, :n], 1, 2)
+    dd = jnp.swapaxes(ddists.reshape(b_sz, k, np8)[:, :, :n], 1, 2)
+
+    def dist_fn(x1_, x2_):
+        x2g = one_hot_gather(x2_, idx)
+        diffs = x2g - x1_[:, :, None, :]
+        return jnp.linalg.norm(diffs + 1e-12, axis=-1)
+
+    _, vjp = jax.vjp(dist_fn, x1, x2)
+    dx1, dx2 = vjp(dd.astype(x1.dtype))
+    return dx1, dx2
+
+
+knn_select_nm.defvjp(_select_nm_vjp_fwd, _select_nm_vjp_bwd)
+
+
 def _row_offset(tr: int, k: int):
     """Global pair-row offset (jet-major, receiver-major, neighbour-minor) —
     blocking-independent so fwd/bwd replay identical dropout masks."""
@@ -1255,22 +1422,44 @@ def _v3_common_specs(np8, n, k, h1, use_dists, dropout_p):
     return in_specs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def knn_edge_aggregate_v3(u1, u2m, idx, dists, w_d, weights_flat, seed_v, alpha,
-                          sum_agg, dropout_p, need_wgrads=True):
+                          sum_agg, dropout_p, need_wgrads=True, premajor=False):
     """v2's contract (same arguments, same math) on neighbour-major rows:
     the receiver broadcast and the k-aggregation run as aligned VPU
-    copies/adds instead of one-hot MXU matmuls. See the section comment."""
+    copies/adds instead of one-hot MXU matmuls. See the section comment.
+
+    ``premajor=True``: ``idx``/``dists`` are already in the kernel's native
+    neighbour-major ``[B, k*NP8, 1]`` layout (as :func:`knn_select_nm`
+    emits them) — the ``_v3_operands`` transposes are skipped, and the
+    ``dists`` cotangent comes back in the same layout."""
     return _fwd_impl_v3(u1, u2m, idx, dists, w_d, _weights_list(weights_flat),
-                        seed_v, alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p)
+                        seed_v, alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p,
+                        premajor=premajor)
 
 
-def _fwd_impl_v3(u1, u2m, idx, dists, w_d, weights, seed, *, alpha, sum_agg, dropout_p):
+def _premajor_operands(u1, idx, dists):
+    """Pad receivers like ``_v3_operands`` but trust idx/dists to already be
+    neighbour-major ``[B, k*NP8, 1]``."""
+    b_sz, n, _ = u1.shape
+    np8 = _pad_senders(n)
+    k, rem = divmod(idx.shape[1], np8)
+    assert rem == 0, f"premajor idx rows {idx.shape[1]} not a multiple of NP8={np8}"
+    if np8 > n:
+        u1 = jnp.pad(u1, ((0, 0), (0, np8 - n), (0, 0)))
+    return u1, idx, dists, np8, k
+
+
+def _fwd_impl_v3(u1, u2m, idx, dists, w_d, weights, seed, *, alpha, sum_agg,
+                 dropout_p, premajor=False):
     b_sz, n, h1 = u1.shape
-    k = idx.shape[-1]
     use_dists = dists is not None
     h_out = weights[-1][0].shape[1] if weights else h1
-    u1p, idx_t, dists_t, np8 = _v3_operands(u1, u2m, idx, dists)
+    if premajor:
+        u1p, idx_t, dists_t, np8, k = _premajor_operands(u1, idx, dists)
+    else:
+        k = idx.shape[-1]
+        u1p, idx_t, dists_t, np8 = _v3_operands(u1, u2m, idx, dists)
 
     in_specs = _v3_common_specs(np8, n, k, h1, use_dists, dropout_p)
     args = []
@@ -1301,12 +1490,15 @@ def _fwd_impl_v3(u1, u2m, idx, dists, w_d, weights, seed, *, alpha, sum_agg, dro
 
 
 def _bwd_impl_v3(u1, u2m, idx, dists, w_d, weights, g, seed, *, alpha, sum_agg,
-                 dropout_p, need_wgrads=True):
+                 dropout_p, need_wgrads=True, premajor=False):
     b_sz, n, h1 = u1.shape
-    k = idx.shape[-1]
     use_dists = dists is not None
     h_out = weights[-1][0].shape[1] if weights else h1
-    u1p, idx_t, dists_t, np8 = _v3_operands(u1, u2m, idx, dists)
+    if premajor:
+        u1p, idx_t, dists_t, np8, k = _premajor_operands(u1, idx, dists)
+    else:
+        k = idx.shape[-1]
+        u1p, idx_t, dists_t, np8 = _v3_operands(u1, u2m, idx, dists)
     if np8 > n:
         g = jnp.pad(g, ((0, 0), (0, np8 - n), (0, 0)))
 
@@ -1369,8 +1561,11 @@ def _bwd_impl_v3(u1, u2m, idx, dists, w_d, weights, g, seed, *, alpha, sum_agg,
     o = 3
     ddists = dwd = None
     if use_dists:
-        ddists_t = outs[o].reshape(b_sz, k, np8)  # neighbour-major back out
-        ddists = jnp.swapaxes(ddists_t[:, :, :n], 1, 2)  # [B, N, k]
+        if premajor:
+            ddists = outs[o]  # stay neighbour-major, like the input dists
+        else:
+            ddists_t = outs[o].reshape(b_sz, k, np8)  # neighbour-major back out
+            ddists = jnp.swapaxes(ddists_t[:, :, :n], 1, 2)  # [B, N, k]
         dwd = outs[o + 1]
         o += 2
     dweights = [(outs[o + 2 * i], outs[o + 1 + 2 * i]) for i in range(len(weights))]
@@ -1378,18 +1573,19 @@ def _bwd_impl_v3(u1, u2m, idx, dists, w_d, weights, g, seed, *, alpha, sum_agg,
 
 
 def _vjp_fwd_v3(u1, u2m, idx, dists, w_d, weights_flat, seed_v, alpha, sum_agg,
-                dropout_p, need_wgrads):
+                dropout_p, need_wgrads, premajor):
     out = knn_edge_aggregate_v3(u1, u2m, idx, dists, w_d, weights_flat, seed_v,
-                                alpha, sum_agg, dropout_p, need_wgrads)
+                                alpha, sum_agg, dropout_p, need_wgrads, premajor)
     return out, (u1, u2m, idx, dists, w_d, weights_flat, seed_v)
 
 
-def _vjp_bwd_v3(alpha, sum_agg, dropout_p, need_wgrads, res, g):
+def _vjp_bwd_v3(alpha, sum_agg, dropout_p, need_wgrads, premajor, res, g):
     u1, u2m, idx, dists, w_d, weights_flat, seed_v = res
     weights = _weights_list(weights_flat)
     du1, du2, dmask, ddists, dwd, dweights = _bwd_impl_v3(
         u1, u2m, idx, dists, w_d, weights, g, seed_v,
         alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p, need_wgrads=need_wgrads,
+        premajor=premajor,
     )
     du2m = jnp.concatenate(
         [du2.astype(u2m.dtype), dmask.astype(u2m.dtype)], axis=-1

@@ -397,10 +397,25 @@ def _mp_layer_apply_fused_knn(
         knn_edge_aggregate_v2,
         knn_edge_aggregate_v3,
         knn_select,
+        knn_select_nm,
     )
 
     weights, fe_state = _fe_weights_sn(cfg, params, state, update_sn)
-    if os.environ.get("MPGAN_TPU_KNN_SELECT", "1") != "0":
+    version = os.environ.get("MPGAN_TPU_KNN_KERNEL", "3")
+    use_select_kernel = os.environ.get("MPGAN_TPU_KNN_SELECT", "1") != "0"
+    premajor = False
+    if use_select_kernel and version == "3":
+        # fused select: search + exact edge distances in ONE kernel, emitted
+        # neighbour-major — no idx/dists HBM transposes, no XLA one-hot
+        # gather + norm glue (knn_pallas.knn_select_nm)
+        sel_cols = slice(None) if (cfg.all_ef or not cfg.pos_diffs) else slice(0, cfg.num_coords)
+        x_far = ((1 - 1e4) * mask + 1e4) * x if mask is not None else x
+        idx, dists = knn_select_nm(
+            x[..., sel_cols], x_far[..., sel_cols], cfg.num_knn, cfg.self_loops,
+            cfg.pos_diffs,
+        )
+        premajor = True
+    elif use_select_kernel:
         sel_cols = slice(None) if (cfg.all_ef or not cfg.pos_diffs) else slice(0, cfg.num_coords)
         x_far = ((1 - 1e4) * mask + 1e4) * x if mask is not None else x
         idx = knn_select(
@@ -430,7 +445,6 @@ def _mp_layer_apply_fused_knn(
             jax.random.fold_in(rng, 1), (), 0, 2**30, dtype=jnp.int32
         ).astype(jnp.float32)
 
-    version = os.environ.get("MPGAN_TPU_KNN_KERNEL", "3")
     if version != "1":
         # v2/v3: first-layer decomposition (dense-kernel style); v3 further
         # reorders pair rows neighbour-major so the receiver broadcast and
@@ -440,11 +454,17 @@ def _mp_layer_apply_fused_knn(
         )
         u2m = jnp.concatenate([u2, m.astype(x.dtype)], axis=-1)
         hidden_flat = tuple(p for w, bb in weights[1:] for p in (w.T, bb))
-        gather = knn_edge_aggregate_v3 if version == "3" else knn_edge_aggregate_v2
-        agg = gather(
-            u1, u2m, idx, dists, w_d, hidden_flat, seed,
-            cfg.fe.leaky_relu_alpha, cfg.sum_agg, dropout_p, _need_wgrads(),
-        )
+        if version == "3":
+            agg = knn_edge_aggregate_v3(
+                u1, u2m, idx, dists, w_d, hidden_flat, seed,
+                cfg.fe.leaky_relu_alpha, cfg.sum_agg, dropout_p, _need_wgrads(),
+                premajor,
+            )
+        else:
+            agg = knn_edge_aggregate_v2(
+                u1, u2m, idx, dists, w_d, hidden_flat, seed,
+                cfg.fe.leaky_relu_alpha, cfg.sum_agg, dropout_p, _need_wgrads(),
+            )
     else:
         cond = None
         if cfg.clabels or cfg.mask_fne_np:

@@ -328,6 +328,73 @@ def test_knn_select_ascending_distance_order():
             assert np.all(np.diff(dd) >= -1e-6), (b, i, dd)
 
 
+def test_knn_select_nm_matches_select_plus_gather():
+    """The fused neighbour-major select kernel (search + exact edge
+    distances in one program, knn_pallas.knn_select_nm) must be
+    value-identical to the pipeline it replaces — knn_select followed by
+    the XLA one-hot gather + reference norm — in indices (exact), distances
+    (to fma-fusion noise: same op order and HIGHEST-precision gathers, but
+    XLA may fuse the sum-of-squares with fma in one lowering and not the
+    other — observed 1-ulp diffs on CPU) and gradients (vs the XLA glue's
+    autodiff)."""
+    from mpgan_tpu.ops.gather import one_hot_gather
+    from mpgan_tpu.ops.knn_pallas import knn_select, knn_select_nm
+    from mpgan_tpu.ops.mp_pallas import _pad_senders
+
+    for n, k, self_loops, want_dists, masked in [
+        (20, 6, True, True, True),
+        (13, 4, False, True, False),
+        (9, 3, True, False, True),
+    ]:
+        b = 3
+        x, mask = _data(b=b, n=n, seed=11)
+        x_far = ((1 - 1e4) * mask + 1e4) * x if masked else x
+        np8 = _pad_senders(n)
+
+        idx_old = knn_select(x, x_far, k, self_loops)  # [B, N, k]
+        idx_nm, dists_nm = knn_select_nm(x, x_far, k, self_loops, want_dists)
+        assert idx_nm.shape == (b, k * np8, 1)
+        idx_rm = jnp.swapaxes(idx_nm.reshape(b, k, np8)[:, :, :n], 1, 2)
+        np.testing.assert_array_equal(np.asarray(idx_rm), np.asarray(idx_old))
+
+        if not want_dists:
+            assert dists_nm is None
+            continue
+        x2g = one_hot_gather(x_far, idx_old)
+        dists_ref = jnp.linalg.norm(x2g - x[:, :, None, :] + 1e-12, axis=-1)
+        d_rm = jnp.swapaxes(dists_nm.reshape(b, k, np8)[:, :, :n], 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(d_rm), np.asarray(dists_ref), rtol=2e-6, atol=1e-7
+        )
+
+        def f_new(x, xf):
+            _, d = knn_select_nm(x, xf, k, self_loops, True)
+            return jnp.sum(jnp.sin(d.reshape(b, k, np8)[:, :, :n]))
+
+        def f_old(x, xf):
+            idx = knn_select(x, xf, k, self_loops)
+            x2g = one_hot_gather(xf, idx)
+            d = jnp.linalg.norm(x2g - x[:, :, None, :] + 1e-12, axis=-1)
+            return jnp.sum(jnp.sin(jnp.swapaxes(d, 1, 2)))
+
+        g_new = jax.grad(f_new, argnums=(0, 1))(x, x_far)
+        g_old = jax.grad(f_old, argnums=(0, 1))(x, x_far)
+        for a, bb in zip(g_new, g_old):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=1e-6, atol=1e-7
+            )
+
+
+def test_knn_select_nm_rejects_k_exceeding_senders():
+    from mpgan_tpu.ops.knn_pallas import knn_select_nm
+
+    x, _ = _data(b=2, n=8, seed=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        knn_select_nm(x, x, 9, True, True)
+    with pytest.raises(ValueError, match="exceeds"):
+        knn_select_nm(x, x, 8, False, False)
+
+
 def test_knn_select_rejects_k_exceeding_senders():
     """k (+1 dropped self) > N must fail loudly, like the XLA search did —
     the extraction loop would otherwise emit silent sentinel indices."""
