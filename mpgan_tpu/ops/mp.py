@@ -508,18 +508,51 @@ def mp_layer_apply(
     ``use_pallas=None`` auto-selects: the fused kernel on TPU, the jnp path
     elsewhere (the kernel only runs interpreted off-TPU).
     """
-    if not cfg.fully_connected and cfg.num_ef > 1:
-        # knn pair rows carry at most the dists column — delta_coords diff
-        # columns exist only in the fully-connected build, in the reference
-        # too (mpgan/model.py:372-381 vs 297-311), so fe's declared input
-        # size can never match. The jnp/v1 paths would fail with an opaque
-        # dot shape error and the v2 kernel's W1 column decomposition would
-        # silently read the wrong slices; fail loudly up front instead.
+    if not cfg.fully_connected and cfg.pos_diffs and cfg.num_ef != 1:
+        # knn pair rows carry exactly one [dists] column whenever pos_diffs
+        # is on (mpgan/model.py:372-381 — the knn getA has no delta_coords
+        # variant, and it appends dists unconditionally under pos_diffs), so
+        # fe's declared input size matches only when num_ef == 1.
+        # num_ef > 1 (delta_coords) or num_ef == 0 (pos_diffs without
+        # delta_r/all_ef) would make the jnp/v1 paths fail with an opaque
+        # dot shape error, and the v2/v3 kernels' W1 column decomposition
+        # would silently read wrong slices — num_ef == 0 in particular makes
+        # ``w1[:, 2f]`` an out-of-range index that jnp CLAMPS to the last
+        # real column instead of raising; fail loudly up front instead.
         raise ValueError(
-            f"knn MP layers support at most the [dists] edge feature "
-            f"(num_ef<=1); got num_ef={cfg.num_ef} "
-            f"(pos_diffs={cfg.pos_diffs}, delta_coords={cfg.delta_coords})"
+            f"knn MP layers with pos_diffs carry exactly the [dists] edge "
+            f"feature (num_ef == 1); got num_ef={cfg.num_ef} "
+            f"(delta_r={cfg.delta_r}, all_ef={cfg.all_ef}, "
+            f"delta_coords={cfg.delta_coords})"
         )
+    if cfg.fully_connected and cfg.pos_diffs:
+        # the dense pairwise builder (_pairwise_fully_connected, mirroring
+        # mpgan/model.py:297-311) and the declared num_ef (model.py:173-181)
+        # disagree for some edge-feature combinations — e.g. all_ef +
+        # delta_coords declares num_coords + 1 columns but builds either
+        # [dists] alone (no delta_r) or a full-width diff block (all_ef
+        # diffs span every node feature, not just coords). The reference
+        # crashes on exactly these combos too (the getA ``view(...,
+        # out_size)`` at model.py:309 fails); reject them loudly instead of
+        # an opaque dot shape error downstream.
+        diff_w = cfg.input_node_size if cfg.all_ef else cfg.num_coords
+        if cfg.delta_r and cfg.delta_coords:
+            built = diff_w + 1
+        elif cfg.delta_r or cfg.all_ef:
+            built = 1
+        elif cfg.delta_coords:
+            built = diff_w
+        else:
+            built = 0
+        if built != cfg.num_ef:
+            raise ValueError(
+                f"inconsistent dense MP edge-feature combination: pairwise "
+                f"rows carry {built} edge columns but num_ef declares "
+                f"{cfg.num_ef} (all_ef={cfg.all_ef}, delta_r={cfg.delta_r}, "
+                f"delta_coords={cfg.delta_coords}, coords={cfg.coords!r}, "
+                f"input_node_size={cfg.input_node_size}); the reference "
+                f"crashes on these combinations too (mpgan/model.py:309)"
+            )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and fused_eligible(cfg, train):

@@ -151,6 +151,11 @@ def _split_mlp_chain(
     masks equal the unsplit ones. ``ids`` (a ``[rows, 1]`` uint32 global
     pair-id matrix, see :func:`_dropmul`) replaces ``offset`` keying for
     kernels with non-receiver-major row order (knn v3)."""
+    # clamp to a divisor of the row count: a non-dividing split would
+    # silently DROP the remainder rows (each part is rows//n_splits long) —
+    # e.g. the v1 knn kernel's tr*k rows can be odd
+    while n_splits > 1 and a.shape[0] % n_splits != 0:
+        n_splits //= 2
     part = a.shape[0] // n_splits
     parts = [a[k * part : (k + 1) * part] for k in range(n_splits)]
     offs = [None if offset is None else offset + k * part for k in range(n_splits)]
