@@ -49,6 +49,11 @@ import os
 # _split_mlp_chain). Rows must divide evenly; _pick_splits falls back.
 _DEFAULT_SPLITS = int(os.environ.get("MPGAN_TPU_KERNEL_SPLITS", "2"))
 
+# MPGAN_TPU_DROPOUT_HW=1: hardware-PRNG dropout probe (see _dropmul)
+_HW_DROPOUT = os.environ.get("MPGAN_TPU_DROPOUT_HW", "0") == "1"
+# MPGAN_TPU_DROPOUT_CONST=1: scalar-multiplier dropout probe (wrong math)
+_CONST_DROPOUT = os.environ.get("MPGAN_TPU_DROPOUT_CONST", "0") == "1"
+
 
 def _pick_splits(rows: int) -> int:
     s = _DEFAULT_SPLITS
@@ -101,6 +106,26 @@ def _dropmul(shape, dropout_p, seed, salt, offset, ids=None):
     version at equal element count (scripts/dense_epilogue_probe.py).
     """
     keep = 1.0 - dropout_p
+    if _CONST_DROPOUT:
+        # PROBE (MPGAN_TPU_DROPOUT_CONST=1): scalar multiplier — measures
+        # dropout's plumbing cost with ALL per-element mask work removed
+        # (wrong math, timing only)
+        return 1.0 / keep
+    if _HW_DROPOUT and ids is None:
+        # PROBE (MPGAN_TPU_DROPOUT_HW=1): per-core hardware PRNG instead of
+        # the software hash. Reseeding with (seed, salt, offset) before each
+        # draw makes the bits a pure function of the same keys the hash
+        # uses, so fwd/bwd replay holds by construction — but masks are NOT
+        # blocking-invariant (the stream covers the block's shape).
+        # prng_seed accepts at most 2 scalars: fold the layer salt into the
+        # seed word, keep the global block offset separate
+        pltpu.prng_seed(
+            seed.astype(jnp.int32) ^ jnp.int32((salt * 0x27D4EB2F) & 0x7FFFFFFF),
+            offset.astype(jnp.int32),
+        )
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        threshold = np.uint32(min(int(dropout_p * 2**32), 2**32 - 1))
+        return jnp.where(bits >= threshold, 1.0 / keep, 0.0)
     if ids is not None:
         rows = ids
     else:
