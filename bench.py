@@ -376,6 +376,7 @@ def main() -> None:
     # kernels on CPU) purely to execute main()'s code paths pre-round-end
     p150, p30 = (12, 12) if SMOKE else (150, 30)
     b512, b4096, b256, b128 = (8, 8, 8, 8) if SMOKE else (512, 4096, 256, 128)
+    b1024 = 8 if SMOKE else 1024
     knn20 = 4 if SMOKE else 20
 
     jets_150, mfu_150, flops_150 = bench_generator(p150, batch=b512)
@@ -387,7 +388,14 @@ def main() -> None:
     # shipped flagship checkpoints. Headline config (see module docstring).
     jets_150_pf, mfu_150_pf, flops_150_pf = bench_generator(p150, batch=b512, fe=[128, 256])
     jets_30, mfu_30, flops_30 = bench_generator(p30, batch=b4096)
-    jets_30_gapt, mfu_30_gapt, flops_30_gapt = bench_gapt(p30, batch=b4096)
+    # GAPT generation runs at B=1024, its measured-optimal batch: the round-4
+    # sweep (scripts/gapt_batch_sweep.py, PERF.md round 4) found throughput
+    # PEAKS in the B=768-1536 plateau (~1.33-1.42M jets/s) and collapses ~45%
+    # at B>=2048 (an XLA strategy cliff), so the former B=4096 line
+    # under-reported the chip by ~75%. The B=4096 measurement is kept below
+    # as the round-over-round continuity key.
+    jets_30_gapt, mfu_30_gapt, flops_30_gapt = bench_gapt(p30, batch=b1024)
+    jets_30_gapt_b4096, _, _ = bench_gapt(p30, batch=b4096)
     train_ms_30 = bench_train_step(p30, batch=b256)
     train_ms_150_knn = bench_train_step(p150, batch=b128, num_knn=knn20)
     train_ms_150_dense = bench_train_step(p150, batch=b128)
@@ -477,7 +485,10 @@ def main() -> None:
             ),
             "baseline_150p_padfree_floor_jets_per_sec": round(baseline_padfree_floor, 1),
             "vs_baseline_150p_padfree_floor": round(jets_150_pf / baseline_padfree_floor, 2),
+            # measured-optimal batch (B=1024; see comment in main + PERF.md
+            # round-4 batch sweep); _b4096 is the legacy continuity line
             "jets_per_sec_30p_gapt": round(jets_30_gapt, 1),
+            "jets_per_sec_30p_gapt_b4096": round(jets_30_gapt_b4096, 1),
             # logical-FLOP model FLOP utilization vs the bf16 one-pass peak
             # (padded MXU duty is higher — PERF.md "Speed of light"; the
             # dense-150p padding ratio is 2.13x, so e.g. mfu_150p 0.39
