@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import MABConfig, mab_apply, mab_init, sab_mask
+from ..ops.gapt_pallas import fused_gapt_eligible, gapt_g_fused
 from ..ops.linear import MLPConfig, mlp_apply, mlp_init
 from ..ops.masking import counts_from_labels, mask_from_counts, split_mask
 
@@ -40,6 +41,10 @@ class GAPTConfig:
     use_isab: bool = False
     num_isab_nodes: int = 10
     linear_args: tuple[tuple[str, Any], ...] = ()
+    # opt-in (True) routes eligible eval-mode forwards through the fused
+    # whole-generator kernel (ops/gapt_pallas.py) — measured SLOWER than
+    # the XLA path at GAPT shapes; kept as the runnable ceiling probe
+    use_pallas: bool | None = None
 
     def _linear_args(self) -> dict:
         return dict(self.linear_args)
@@ -148,6 +153,16 @@ def gapt_g_apply(
         mask = mask_from_counts(x[:, :, 0], njp)
     else:
         mask = None
+
+    # the fused whole-generator kernel is opt-in only: the round-4 probe
+    # measured it 3.6x SLOWER than the XLA path at every batch (see
+    # ops/gapt_pallas.py docstring + PERF.md round 4) — XLA's batched
+    # einsums are the right strategy at GAPT's tiny shapes
+    if cfg.use_pallas and fused_gapt_eligible(cfg, train, x.shape[0]):
+        # eval-mode serving path: whole generator in one Pallas program;
+        # nothing mutable updates on an eligible config, so state passes
+        # through unchanged (structure matches the jnp path's new_state)
+        return gapt_g_fused(cfg, params, x, mask), state
 
     new_state: dict = {"sabs": []}
     for i in range(cfg.sab_layers):

@@ -404,4 +404,8 @@ def build_gapt(args: Args, gen: bool) -> GAPTConfig:
         use_isab=args.use_isab,
         num_isab_nodes=args.num_isab_nodes,
         linear_args=tuple(_linear_args(args, gen).items()),
+        # NOTE: args.use_pallas is deliberately NOT wired here — it selects
+        # the MPGAN edge kernels; GAPT's fused-whole-G kernel measured
+        # slower than the XLA path (ops/gapt_pallas.py) and is opt-in only
+        # via GAPTConfig(use_pallas=True).
     )

@@ -124,7 +124,10 @@ def _time(params, labels, batch, dtype=jnp.float32, **kw):
 
 def main() -> None:
     batch = 1024
-    cfg = GAPTConfig(num_particles=N, feat_size=3, is_generator=True, sab_layers=LAYERS)
+    cfg = GAPTConfig(
+        num_particles=N, feat_size=3, is_generator=True,
+        sab_layers=LAYERS, num_heads=H, embed_dim=E,
+    )
     params, _ = gapt_g_init(jax.random.PRNGKey(0), cfg)
     labels = jnp.asarray(
         (np.random.default_rng(0).integers(1, N + 1, size=batch) / N)[:, None].astype(np.float32)
