@@ -16,7 +16,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import MABConfig, mab_apply, mab_init, sab_mask
+from ..ops.attention import MABConfig, mab_apply, mab_init, packed_attn_bias, sab_mask
 from ..ops.gapt_pallas import fused_gapt_eligible, gapt_g_fused
 from ..ops.linear import MLPConfig, mlp_apply, mlp_init
 from ..ops.masking import counts_from_labels, mask_from_counts, split_mask
@@ -97,13 +97,15 @@ def _sab_init(rng, cfg: GAPTConfig, dtype):
     return {"I": inducing, "mab0": p0, "mab1": p1}, {"mab0": s0, "mab1": s1}
 
 
-def _sab_apply(cfg: GAPTConfig, params, state, x, mask, *, train, rng, update_sn):
+def _sab_apply(
+    cfg: GAPTConfig, params, state, x, mask, *, train, rng, update_sn, packed_bias=None
+):
     mab_cfg = cfg.mab_cfg()
     n = x.shape[1]
     if not cfg.use_isab:
         y, s = mab_apply(
             mab_cfg, params["mab"], state["mab"], x, x, sab_mask(mask, n),
-            train=train, rng=rng, update_sn=update_sn,
+            train=train, rng=rng, update_sn=update_sn, packed_bias=packed_bias,
         )
         return y, {"mab": s}
     # ISAB (gapt/model.py:178-191): H = MAB(I, x); out = MAB(x, H)
@@ -164,11 +166,20 @@ def gapt_g_apply(
         # through unchanged (structure matches the jnp path's new_state)
         return gapt_g_fused(cfg, params, x, mask), state
 
+    # the SAB stack reuses one key mask: hoist the packed-attention bias
+    # out of the per-layer mha calls (ops/attention.packed_attn_bias)
+    pbias = (
+        packed_attn_bias(sab_mask(mask, cfg.num_particles), cfg.num_heads,
+                         cfg.num_particles, cfg.num_particles)
+        if (mask is not None and not cfg.use_isab)
+        else None
+    )
+
     new_state: dict = {"sabs": []}
     for i in range(cfg.sab_layers):
         x, s = _sab_apply(
             cfg, params["sabs"][i], state["sabs"][i], x, mask,
-            train=train, rng=rngs[i], update_sn=update_sn,
+            train=train, rng=rngs[i], update_sn=update_sn, packed_bias=pbias,
         )
         new_state["sabs"].append(s)
 
@@ -228,10 +239,16 @@ def gapt_d_apply(
     )
     new_state: dict = {"sabs": [], "input_embedding": emb_state}
 
+    pbias = (
+        packed_attn_bias(sab_mask(mask, cfg.num_particles), cfg.num_heads,
+                         cfg.num_particles, cfg.num_particles)
+        if (mask is not None and not cfg.use_isab)
+        else None
+    )
     for i in range(cfg.sab_layers):
         x, s = _sab_apply(
             cfg, params["sabs"][i], state["sabs"][i], x, mask,
-            train=train, rng=rngs[i + 1], update_sn=update_sn,
+            train=train, rng=rngs[i + 1], update_sn=update_sn, packed_bias=pbias,
         )
         new_state["sabs"].append(s)
 

@@ -41,6 +41,36 @@ def mha_init(rng: jax.Array, embed_dim: int, dtype=jnp.float32) -> dict:
     }
 
 
+def packed_attn_bias(
+    attn_mask: jax.Array, num_heads: int, lq: int, lk: int
+) -> jax.Array | None:
+    """Precompute the additive packed-attention bias for ``mha_apply``.
+
+    An SAB stack applies the SAME key mask at every layer; building the
+    packed block-diagonal mask inside each ``mha_apply`` call repeats that
+    VPU work per layer (measured 172 ns/jet across the default GAPT
+    generator, scripts/gapt_gen_ablation.py). This helper builds it once as
+    an additive bias (``0`` attend / ``-inf`` ignore, exactly equivalent to
+    the ``where(mask, -inf, scores)`` select); callers thread it through
+    ``mab_apply(packed_bias=...)``. Returns None when the jet-head packing
+    is disabled for these shapes (``_pack_group`` == 1) — the unpacked
+    branch masks directly from ``attn_mask``.
+    """
+    b = attn_mask.shape[0]
+    g = _pack_group(b * num_heads, lq, lk)
+    if g <= 1:
+        return None
+    bg = b * num_heads // g
+    am = jnp.broadcast_to(attn_mask[:, None, :, :], (b, num_heads, lq, lk))
+    am = am.reshape(bg, g, lq, lk)
+    packed_mask = jnp.where(
+        jnp.eye(g, dtype=bool)[None, :, None, :, None],
+        am[:, :, :, None, :],
+        True,
+    ).reshape(bg, g * lq, g * lk)
+    return jnp.where(packed_mask, -jnp.inf, 0.0)
+
+
 def mha_apply(
     params: dict,
     num_heads: int,
@@ -48,11 +78,15 @@ def mha_apply(
     k: jax.Array,
     v: jax.Array,
     attn_mask: jax.Array | None = None,
+    packed_bias: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-head attention, ``q: [B, Lq, E]``, ``k/v: [B, Lk, E]``.
 
     ``attn_mask``: optional bool ``[B, Lq, Lk]``, True = do NOT attend
     (torch's bool attn_mask convention, gapt/model.py:194-202).
+    ``packed_bias``: optional precomputed ``packed_attn_bias`` for the same
+    ``attn_mask`` (hoisted across a layer stack); ignored when the packed
+    branch is not taken.
     """
     b, lq, e = q.shape
     lk = k.shape[1]
@@ -81,7 +115,9 @@ def mha_apply(
         kp = kh.reshape(bg, g * lk, head_dim)
         vp = vh.reshape(bg, g * lk, head_dim)
         scores = jnp.einsum("bqd,bkd->bqk", qp, kp) / math.sqrt(head_dim)
-        if attn_mask is not None:
+        if packed_bias is not None:
+            scores = scores + packed_bias.astype(scores.dtype)
+        elif attn_mask is not None:
             am = jnp.broadcast_to(attn_mask[:, None, :, :], (b, num_heads, lq, lk))
             am = am.reshape(bg, g, lq, lk)
             # diagonal blocks carry the per-jet mask, off-diagonal blocks
@@ -91,11 +127,12 @@ def mha_apply(
                 am[:, :, :, None, :],
                 True,
             ).reshape(bg, g * lq, g * lk)
+            scores = jnp.where(packed_mask, -jnp.inf, scores)
         else:
             row_g = jnp.arange(g * lq) // lq
             col_g = jnp.arange(g * lk) // lk
             packed_mask = (row_g[:, None] != col_g[None, :])[None]  # [1, g*lq, g*lk]
-        scores = jnp.where(packed_mask, -jnp.inf, scores)
+            scores = jnp.where(packed_mask, -jnp.inf, scores)
         weights = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bqk,bkd->bqd", weights, vp)
         out = out.reshape(b, num_heads, lq, head_dim)
@@ -174,12 +211,15 @@ def mab_apply(
     train: bool = False,
     rng: jax.Array | None = None,
     update_sn: bool = True,
+    packed_bias: jax.Array | None = None,
 ):
     """``x = x + attn(x, y, y)``; optional LN; dropout; ``x = x + ff(x)``;
     optional LN; dropout (gapt/model.py:124-139)."""
     drop_keys = jax.random.split(rng, 3) if rng is not None else (None, None, None)
 
-    x = x + mha_apply(params["attention"], cfg.num_heads, x, y, y, y_mask)
+    x = x + mha_apply(
+        params["attention"], cfg.num_heads, x, y, y, y_mask, packed_bias=packed_bias
+    )
     if cfg.layer_norm:
         x = layer_norm(x, params["norm1"]["scale"], params["norm1"]["bias"])
     x = _dropout(x, cfg.dropout_p, train, drop_keys[0])
