@@ -8,7 +8,7 @@ from __future__ import annotations
 import argparse
 from typing import Any
 
-from ..training.config import Args, defaults, process_args
+from ..training.config import Args, ArgsError, defaults, process_args
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -37,7 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def parse_cli(argv: list[str] | None = None) -> Args:
-    ns = build_parser().parse_args(argv)
+    parser = build_parser()
+    ns = parser.parse_args(argv)
     args = Args(vars(ns))
-    process_args(args)
+    try:
+        process_args(args)
+    except ArgsError as e:
+        # the reference logging.error + sys.exit()s on these configs
+        # (setup_training.py:717-744); exit loudly rather than traceback
+        parser.error(f"{e} - exiting")
     return args

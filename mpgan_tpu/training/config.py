@@ -107,6 +107,37 @@ def defaults() -> dict[str, Any]:
     )
 
 
+class ArgsError(ValueError):
+    """A config the reference refuses to run (setup_training.py:717-744).
+
+    The reference ``logging.error(...); sys.exit()``s; we raise so library
+    callers can catch, and the CLI converts to a loud exit."""
+
+
+def check_args_errors(args: Args) -> None:
+    """Mirror of the reference's ``check_args_errors``
+    (setup_training.py:717-744): reject the configs it refuses to run
+    instead of silently ignoring the flags."""
+    if args.real_only and (args.jets != "t" or args.num_hits != 30):
+        raise ArgsError("real only arg works only with 30p t jets")
+    if args.int_diffs:
+        raise ArgsError("int_diffs not supported yet")
+    if args.optimizer == "acgd" and (args.num_critic != 1 or args.num_gen != 1):
+        raise ArgsError("acgd can't have num critic or num gen > 1")
+    if args.n and args.lx:
+        raise ArgsError("can't be on nautilus and lxplus both")
+    if args.latent_node_size and args.latent_node_size < 3:
+        raise ArgsError("latent node size can't be less than 2")
+    if args.all_ef and args.deltacoords:
+        raise ArgsError("all ef + delta coords not supported yet")
+    if args.multi_gpu and args.loss != "ls":
+        # the reference only warns here and clears the flag
+        import logging
+
+        logging.warning("multi gpu not implemented for non-mse loss")
+        args.multi_gpu = False
+
+
 def from_args_dict(d: dict[str, Any], apply_processing: bool = True) -> Args:
     merged = defaults()
     merged.update(d)
@@ -132,6 +163,7 @@ def from_args_txt(path: str, apply_processing: bool = False) -> Args:
 def process_args(args: Args) -> Args:
     """The reference defaulting cascade (setup_training.py:747-1040),
     minus filesystem/cluster concerns."""
+    check_args_errors(args)
     if args.save_epochs == 0:
         args.save_epochs = 5 if (args.num_hits <= 30 or args.model == "gapt") else 1
     if args.save_model_epochs == 0:
@@ -152,6 +184,9 @@ def process_args(args: Args) -> Args:
     if args.gapt_mask and args.model == "gapt":
         args.mask = True
     _process_masking(args)
+    if args.noise_padding and not args.mask:
+        # reference: loud exit after mask resolution (setup_training.py:934-936)
+        raise ArgsError("noise padding only works with masking")
     _process_ext_models(args)
     return args
 

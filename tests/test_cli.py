@@ -61,6 +61,60 @@ def test_flag_surface_covers_reference(reference_path):
     assert not missing, f"reference flags absent from this CLI: {sorted(missing)}"
 
 
+REFERENCE_REJECTED_CONFIGS = [
+    # (argv tail, reason) — each config the reference's check_args_errors /
+    # process_args refuses to run (setup_training.py:717-744, 934-936) must
+    # raise here too, not silently ignore the flag.
+    (["--real-only", "--jets", "g"], "real_only works only with 30p t jets"),
+    (["--real-only", "--jets", "t", "--num-hits", "150"], "real_only works only with 30p"),
+    (["--int-diffs"], "int_diffs not supported"),
+    (["--optimizer", "acgd", "--num-critic", "2"], "acgd with num_critic > 1"),
+    (["--optimizer", "acgd", "--num-gen", "2"], "acgd with num_gen > 1"),
+    (["--n", "--lx"], "nautilus and lxplus both"),
+    (["--latent-node-size", "2"], "latent_node_size < 3"),
+    (["--latent-node-size", "1"], "latent_node_size < 3"),
+    (["--all-ef", "--deltacoords"], "all_ef + deltacoords"),
+    (["--noise-padding", "--no-mask-c"], "noise padding without masking"),
+]
+
+
+@pytest.mark.parametrize("argv,reason", REFERENCE_REJECTED_CONFIGS)
+def test_reference_rejected_configs_rejected(argv, reason):
+    """Rejection parity: the CLI exits loudly (SystemExit via parser.error)
+    on every config the reference refuses (setup_training.py:717-744)."""
+    with pytest.raises(SystemExit):
+        parse_cli(["--name", "t", "--model", "mpgan"] + argv)
+
+
+@pytest.mark.parametrize("argv,reason", REFERENCE_REJECTED_CONFIGS)
+def test_reference_rejected_configs_raise_in_library(argv, reason):
+    """Library callers get a catchable ArgsError from from_args_dict."""
+    from mpgan_tpu.training.config import ArgsError, from_args_dict
+
+    d = {"name": "t", "model": "mpgan"}
+    it = iter(argv)
+    for flag in it:
+        key = flag[2:].replace("-", "_")
+        if key.startswith("no_"):
+            d[key[3:]] = False
+        elif key in ("real_only", "int_diffs", "n", "lx", "all_ef",
+                     "deltacoords", "noise_padding"):
+            d[key] = True
+        else:
+            v = next(it)
+            d[key] = int(v) if v.isdigit() else v
+    with pytest.raises(ArgsError):
+        from_args_dict(d)
+
+
+def test_multi_gpu_non_ls_loss_warns_and_clears():
+    """The reference only warns + clears multi_gpu for non-ls losses
+    (setup_training.py:741-744) — no exit."""
+    args = parse_cli(["--name", "t", "--model", "mpgan", "--multi-gpu",
+                      "--loss", "w"])
+    assert args.multi_gpu is False
+
+
 def test_gp_pins_mpgan_discriminator_to_jnp_path():
     """WGAN-GP needs grad-of-grad through D; the fused Pallas kernels'
     custom-VJP backward has no AD rule, so a (user-forced) mpgan+GP config
