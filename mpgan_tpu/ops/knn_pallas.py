@@ -1621,3 +1621,302 @@ def _vjp_bwd(alpha, sum_agg, dropout_p, res, g):
 
 
 knn_edge_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v4 (round 5): fully fused select + gather + edge-MLP + aggregate
+# ---------------------------------------------------------------------------
+#
+# One Pallas program per jet runs the ENTIRE knn MP edge stage: the
+# neighbour search (the same norm-augmented distance matmul +
+# index-in-mantissa min-extraction passes as knn_select_nm), the sender
+# gather, the edge-MLP chain and the masked k-aggregation. Two structural
+# wins over the round-4 select_nm + v3 pair (mpgan/model.py:319-381 is the
+# reference's sort+gather+MLP equivalent):
+#
+# - each extraction pass's equality mask ``keyed == m`` IS the selected
+#   neighbours' one-hot rows, so the gather consumes it directly — the v3
+#   kernel's [k*NP8, N] iota-compare one-hot REBUILD from idx disappears,
+#   along with the idx round-trip through HBM between the two kernels;
+# - in the default per-pass gather mode, pass ``s``'s [NP8, N] @ [N, H1+1]
+#   gather matmul is independent of passes s+1..k, so Mosaic overlaps the
+#   MXU gathers with the remaining VPU extraction passes — the two phases
+#   that ran strictly serially as separate kernels now share the machine.
+#
+# The backward is UNCHANGED: the forward emits idx (and dists when
+# pos_diffs) in the v3 neighbour-major layout as residuals, and the VJP
+# reuses _bwd_impl_v3 + the select_nm dist-gradient glue verbatim.
+
+
+def _fused_gather_pass() -> bool:
+    """Trace-time knob: per-pass gathers (default) vs concat-then-one-shot
+    (``MPGAN_TPU_KNN_FUSED_GATHER=concat``, for ablation)."""
+    import os
+
+    return os.environ.get("MPGAN_TPU_KNN_FUSED_GATHER", "pass") != "concat"
+
+
+def _fused_kernel_v4(num_hidden, alpha, sum_agg, np8, n, k, self_loops,
+                     want_dists, gather_pass, dropout_p, *refs):
+    base = 0
+    if dropout_p > 0:
+        seed_ref = refs[0]
+        base = 1
+    xs_ref = refs[base]  # [1, NP8, C] receivers' select features (padded)
+    xf_ref = refs[base + 1]  # [1, N, C] senders (mask-pushed)
+    u1_ref = refs[base + 2]  # [1, NP8, H1] receiver embeddings (padded)
+    u2m_ref = refs[base + 3]  # [1, N, H1+1] sender embeddings + mask col
+    off = base + 4
+    wd_ref = None
+    if want_dists:
+        wd_ref = refs[off]  # [1, H1]
+        off += 1
+    wb = refs[off : off + 2 * num_hidden]
+    out_ref = refs[off + 2 * num_hidden]  # [1, NP8, H_out]
+    idx_ref = refs[off + 2 * num_hidden + 1]  # [1, k*NP8, 1]
+    dists_ref = refs[off + 2 * num_hidden + 2] if want_dists else None
+
+    seed = seed_ref[0] if dropout_p > 0 else None
+    h1 = u1_ref.shape[2]
+
+    # ---- neighbour search (same math as _select_nm_kernel)
+    xs = xs_ref[0].astype(jnp.float32)  # [NP8, C]
+    xf = xf_ref[0].astype(jnp.float32)  # [N, C]
+    sq1 = jnp.sum(xs * xs, axis=-1, keepdims=True)
+    sq2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    a_ops = jnp.concatenate([-2.0 * xs, jnp.ones_like(sq1)], axis=-1)
+    b_ops = jnp.concatenate([xf, sq2], axis=-1)
+    d = (
+        jax.lax.dot_general(
+            a_ops, b_ops, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # see _select_kernel
+        )
+        + sq1
+    )  # [NP8, N]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (np8, n), 1)
+    bits = max(8, (n - 1).bit_length())
+    keyed = (
+        jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
+        & jnp.int32(~((1 << bits) - 1))
+    ) | cols
+    imax = jnp.int32(0x7FFFFFFF)
+    start = 0 if self_loops else 1
+
+    u2m = u2m_ref[0].astype(jnp.float32)  # [N, H1+1]
+    idx_blocks, g2_blocks, dist_blocks, oh_blocks = [], [], [], []
+    for s in range(k + start):
+        m = jnp.min(keyed, axis=-1, keepdims=True)
+        if s >= start:
+            idx_blocks.append(m & jnp.int32((1 << bits) - 1))
+            # the equality mask is exactly one 1.0 per row (keys are unique:
+            # index in mantissa) — the selected neighbour's one-hot row
+            oh = (keyed == m).astype(jnp.float32)  # [NP8, N]
+            if gather_pass:
+                # gather NOW: independent of the remaining extraction
+                # passes, so the MXU pass overlaps the VPU min/where chain
+                g2_blocks.append(
+                    jax.lax.dot_general(
+                        oh, u2m, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            else:
+                oh_blocks.append(oh)
+            if want_dists:
+                # exact reference edge distances (mpgan/model.py:304-306):
+                # gather the sender coords (HIGHEST: one nonzero term ->
+                # bit-identical to take_along_axis), then norm(x2-x1+1e-12)
+                x2g = jax.lax.dot_general(
+                    oh, xf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [NP8, C]
+                diffs = x2g - xs + 1e-12
+                dist_blocks.append(
+                    jnp.sqrt(jnp.sum(diffs * diffs, axis=-1, keepdims=True))
+                )
+        keyed = jnp.where(keyed == m, imax, keyed)
+
+    idx_ref[0] = jnp.concatenate(idx_blocks, axis=0).astype(idx_ref.dtype)
+    if want_dists:
+        dists_cat = jnp.concatenate(dist_blocks, axis=0)  # [k*NP8, 1]
+        dists_ref[0] = dists_cat.astype(dists_ref.dtype)
+
+    if gather_pass:
+        g2 = jnp.concatenate(g2_blocks, axis=0)  # [k*NP8, H1+1]
+    else:
+        onehot = jnp.concatenate(oh_blocks, axis=0)  # [k*NP8, N]
+        g2 = jax.lax.dot_general(
+            onehot, u2m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    # ---- edge MLP + aggregation (identical to _fwd_kernel_v3)
+    u1 = u1_ref[0].astype(jnp.float32)
+    g1 = jnp.concatenate([u1] * k, axis=0)
+    z1 = g1 + g2[:, :h1]
+    if want_dists:
+        z1 = z1 + dists_cat * wd_ref[:].astype(jnp.float32)
+    smask = g2[:, h1 : h1 + 1]
+
+    rows = k * np8
+    ids = _v3_ids(np8, n, k) if dropout_p > 0 else None
+    a = _leaky(z1, alpha)
+    if dropout_p > 0:
+        a = a * _dropmul_ids(a.shape, dropout_p, seed, 0, ids)
+    a = _chain_ids(a, wb, num_hidden, alpha, dropout_p, seed, ids, 1, _pick_splits(rows))
+    am = a * smask
+    agg = _tree_sum_groups(am, k, np8)
+    if not sum_agg:
+        agg = agg / k
+    out_ref[0] = agg.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def knn_fused_layer(xs, xf, u1, u2m, w_d, weights_flat, seed_v, k, self_loops,
+                    want_dists, alpha, sum_agg, dropout_p, need_wgrads=True):
+    """Fully fused knn edge stage: neighbour search + sender gather +
+    edge-MLP chain + masked k-aggregation in ONE Pallas program per jet.
+
+    ``xs [B,N,C]``: receivers' neighbour-selection features (the reference
+    sorts on these, mpgan/model.py:347-359); ``xf [B,N,C]``: the mask-pushed
+    senders; ``u1/u2m/w_d/weights_flat``: the v3 first-layer decomposition
+    operands (see :func:`knn_edge_aggregate_v3`). Returns ``agg [B,N,H_out]``.
+
+    Value contract: identical to ``knn_select_nm`` + ``knn_edge_aggregate_v3
+    (premajor=True)`` — the search, the emitted distances and the edge chain
+    run the same ops in the same order. Differentiation contract unchanged:
+    selection detached, distances differentiable; the VJP reuses the v3
+    backward kernel on the idx/dists residuals this forward emits, plus the
+    select_nm dist-gradient XLA glue into ``xs``/``xf``.
+    """
+    agg, _, _ = _fused_impl_v4(
+        xs, xf, u1, u2m, w_d, _weights_list(weights_flat), seed_v,
+        k=k, self_loops=self_loops, want_dists=want_dists, alpha=alpha,
+        sum_agg=sum_agg, dropout_p=dropout_p,
+    )
+    return agg
+
+
+def _fused_impl_v4(xs, xf, u1, u2m, w_d, weights, seed, *, k, self_loops,
+                   want_dists, alpha, sum_agg, dropout_p):
+    b_sz, n, c = xs.shape
+    h1 = u1.shape[-1]
+    if k + (0 if self_loops else 1) > n:
+        raise ValueError(
+            f"knn_fused_layer: k={k} (+{0 if self_loops else 1} dropped self) "
+            f"exceeds the {n} available senders"
+        )
+    h_out = weights[-1][0].shape[1] if weights else h1
+    np8 = _pad_senders(n)
+    if np8 > n:
+        xs_p = jnp.pad(xs, ((0, 0), (0, np8 - n), (0, 0)))
+        u1_p = jnp.pad(u1, ((0, 0), (0, np8 - n), (0, 0)))
+    else:
+        xs_p, u1_p = xs, u1
+
+    in_specs = []
+    if dropout_p > 0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    in_specs += [
+        pl.BlockSpec((1, np8, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # xs
+        pl.BlockSpec((1, n, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # xf
+        pl.BlockSpec((1, np8, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # u1
+        pl.BlockSpec((1, n, h1 + 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # u2m
+    ]
+    args = []
+    if dropout_p > 0:
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32).reshape(1))
+    args += [xs_p, xf, u1_p, u2m]
+    if want_dists:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w_d [1, H1]
+        args.append(w_d.reshape(1, h1))
+    for w, bias in weights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.extend([w, bias])
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((b_sz, np8, h_out), u1.dtype),
+        jax.ShapeDtypeStruct((b_sz, k * np8, 1), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, np8, h_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if want_dists:
+        out_shapes.append(jax.ShapeDtypeStruct((b_sz, k * np8, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+
+    kernel = functools.partial(
+        _fused_kernel_v4, len(weights), alpha, sum_agg, np8, n, k, self_loops,
+        want_dists, _fused_gather_pass(), dropout_p,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b_sz,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*args)
+    agg = outs[0][:, :n] if np8 > n else outs[0]
+    idx_t = outs[1]
+    dists_t = outs[2] if want_dists else None
+    return agg, idx_t, dists_t
+
+
+def _fused_vjp_fwd(xs, xf, u1, u2m, w_d, weights_flat, seed_v, k, self_loops,
+                   want_dists, alpha, sum_agg, dropout_p, need_wgrads):
+    agg, idx_t, dists_t = _fused_impl_v4(
+        xs, xf, u1, u2m, w_d, _weights_list(weights_flat), seed_v,
+        k=k, self_loops=self_loops, want_dists=want_dists, alpha=alpha,
+        sum_agg=sum_agg, dropout_p=dropout_p,
+    )
+    return agg, (xs, xf, u1, u2m, idx_t, dists_t, w_d, weights_flat, seed_v)
+
+
+def _fused_vjp_bwd(k, self_loops, want_dists, alpha, sum_agg, dropout_p,
+                   need_wgrads, res, g):
+    xs, xf, u1, u2m, idx_t, dists_t, w_d, weights_flat, seed_v = res
+    weights = _weights_list(weights_flat)
+    du1, du2, dmask, ddists, dwd, dweights = _bwd_impl_v3(
+        u1, u2m, idx_t, dists_t, w_d, weights, g, seed_v,
+        alpha=alpha, sum_agg=sum_agg, dropout_p=dropout_p,
+        need_wgrads=need_wgrads, premajor=True,
+    )
+    du2m = jnp.concatenate([du2.astype(u2m.dtype), dmask.astype(u2m.dtype)], axis=-1)
+    dw_flat = tuple(
+        d.astype(p.dtype)
+        for pair, wpair in zip(dweights, weights)
+        for d, p in zip(pair, wpair)
+    )
+    if want_dists:
+        # ddists -> dxs/dxf through the (detached-selection) distance formula
+        # — identical glue to _select_nm_vjp_bwd
+        from .gather import one_hot_gather
+
+        b_sz, n, _ = xs.shape
+        np8 = _pad_senders(n)
+        idx_rm = jnp.swapaxes(idx_t.reshape(b_sz, k, np8)[:, :, :n], 1, 2)
+        dd = jnp.swapaxes(ddists.reshape(b_sz, k, np8)[:, :, :n], 1, 2)
+
+        def dist_fn(x1_, x2_):
+            x2g = one_hot_gather(x2_, idx_rm)
+            diffs = x2g - x1_[:, :, None, :]
+            return jnp.linalg.norm(diffs + 1e-12, axis=-1)
+
+        _, vjp = jax.vjp(dist_fn, xs, xf)
+        dxs, dxf = vjp(dd.astype(xs.dtype))
+    else:
+        dxs = jnp.zeros_like(xs)
+        dxf = jnp.zeros_like(xf)
+    dseed = None if seed_v is None else jnp.zeros_like(seed_v)
+    dwd_out = None if w_d is None else dwd.reshape(w_d.shape).astype(w_d.dtype)
+    return dxs, dxf, du1.astype(u1.dtype), du2m, dwd_out, dw_flat, dseed
+
+
+knn_fused_layer.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

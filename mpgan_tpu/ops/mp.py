@@ -396,13 +396,52 @@ def _mp_layer_apply_fused_knn(
         knn_edge_aggregate,
         knn_edge_aggregate_v2,
         knn_edge_aggregate_v3,
+        knn_fused_layer,
         knn_select,
         knn_select_nm,
     )
 
     weights, fe_state = _fe_weights_sn(cfg, params, state, update_sn)
-    version = os.environ.get("MPGAN_TPU_KNN_KERNEL", "3")
+    version = os.environ.get("MPGAN_TPU_KNN_KERNEL", "4")
     use_select_kernel = os.environ.get("MPGAN_TPU_KNN_SELECT", "1") != "0"
+    if not use_select_kernel and version == "4":
+        version = "3"  # the fully fused kernel IS the select kernel
+
+    dropout_p = cfg.fe.dropout_p if train else 0.0
+    seed = None
+    if dropout_p > 0:
+        if rng is None:
+            raise ValueError("fe dropout in train mode needs an rng")
+        seed = jax.random.randint(
+            jax.random.fold_in(rng, 1), (), 0, 2**30, dtype=jnp.int32
+        ).astype(jnp.float32)
+
+    if version == "4":
+        # round 5: select + gather + edge MLP + aggregation in ONE kernel —
+        # the extraction passes' equality masks double as the gather one-hots
+        # (no iota-compare rebuild, no idx HBM round-trip) and the per-pass
+        # gather matmuls overlap the remaining extraction passes
+        sel_cols = slice(None) if (cfg.all_ef or not cfg.pos_diffs) else slice(0, cfg.num_coords)
+        x_far = ((1 - 1e4) * mask + 1e4) * x if mask is not None else x
+        m = mask if mask is not None else jnp.ones(x.shape[:2] + (1,), x.dtype)
+        u1, u2, w_d = _decompose_first_layer(
+            cfg, weights, x, labels, num_jet_particles, extract_wd=cfg.pos_diffs
+        )
+        u2m = jnp.concatenate([u2, m.astype(x.dtype)], axis=-1)
+        hidden_flat = tuple(p for w, bb in weights[1:] for p in (w.T, bb))
+        agg = knn_fused_layer(
+            x[..., sel_cols], x_far[..., sel_cols], u1, u2m, w_d, hidden_flat,
+            seed, cfg.num_knn, cfg.self_loops, cfg.pos_diffs,
+            cfg.fe.leaky_relu_alpha, cfg.sum_agg, dropout_p, _need_wgrads(),
+        )
+        h = jnp.concatenate([agg, x], axis=-1)
+        h = _append_cond(cfg, h, labels, num_jet_particles)
+        y, fn_state = mlp_apply(
+            cfg.fn, params["fn"], state["fn"], h, train=train, rng=rng,
+            update_sn=update_sn,
+        )
+        return y, {"fe": fe_state, "fn": fn_state}
+
     premajor = False
     if use_select_kernel and version == "3":
         # fused select: search + exact edge distances in ONE kernel, emitted
@@ -435,15 +474,6 @@ def _mp_layer_apply_fused_knn(
         dists = knn_dists[..., 0] if cfg.pos_diffs else None
 
     m = mask if mask is not None else jnp.ones(x.shape[:2] + (1,), x.dtype)
-
-    dropout_p = cfg.fe.dropout_p if train else 0.0
-    seed = None
-    if dropout_p > 0:
-        if rng is None:
-            raise ValueError("fe dropout in train mode needs an rng")
-        seed = jax.random.randint(
-            jax.random.fold_in(rng, 1), (), 0, 2**30, dtype=jnp.int32
-        ).astype(jnp.float32)
 
     if version != "1":
         # v2/v3: first-layer decomposition (dense-kernel style); v3 further

@@ -62,6 +62,18 @@ class StepConfig:
     # Loss math and optimizer updates stay f32. Imported-weight *evaluation*
     # keeps its f32 parity contract — this flag touches training only.
     bf16: bool = False
+    # Run the D step's real and fake passes as ONE concatenated 2B-row
+    # forward (and, under autodiff, one backward) instead of two serial
+    # passes (train.py:425-447 runs them serially because torch is eager;
+    # there is no semantic reason to at fixed batch statistics). LEGAL ONLY
+    # when D's per-sample output is batch-independent and stateless across
+    # passes: no batch norm (batch stats would mix real/fake) and no
+    # spectral norm (the power iteration would advance once per D step
+    # instead of twice). Dropout draws change stream (one rng covers the
+    # 2B rows) — statistically identical, not replayable against the
+    # two-pass schedule. Halves the serial D-chain launch count: built for
+    # GAPT, whose train step is launch-bound (PERF.md round 4).
+    batched_d: bool = False
 
 
 def _cast_floats(tree: Any, dtype) -> Any:
@@ -172,10 +184,6 @@ def make_train_steps(
         noise, _ = spec.sample(k_noise, batch_size, data.dtype)
 
         def loss_fn(d_params):
-            # real pass on unaugmented data (train.py:425)
-            real_out, d_state1 = d_apply(
-                d_cfg, d_params, state.d_state, data, labels, train=True, rng=k_real
-            )
             # fresh fake batch; G in eval mode, SN advancing (train.py:421,428)
             fake, g_state1 = g_apply(
                 g_cfg, state.g_params, state.g_state, noise, labels, train=False
@@ -184,9 +192,28 @@ def make_train_steps(
                 fake = post_gen(fake)
             data_aug = _maybe_aug(k_aug_r, data)
             fake_aug = _maybe_aug(k_aug_f, fake)
-            fake_out, d_state2 = d_apply(
-                d_cfg, d_params, d_state1, fake_aug, labels, train=True, rng=k_fake
-            )
+            if step_cfg.batched_d:
+                # one 2B-row pass over [real | fake] (see StepConfig.batched_d
+                # for the legality conditions; real rows stay unaugmented,
+                # train.py:425)
+                both = jax.numpy.concatenate([data, fake_aug], axis=0)
+                labels2 = (
+                    None if labels is None
+                    else jax.numpy.concatenate([labels, labels], axis=0)
+                )
+                out, d_state2 = d_apply(
+                    d_cfg, d_params, state.d_state, both, labels2,
+                    train=True, rng=k_real,
+                )
+                real_out, fake_out = out[:batch_size], out[batch_size:]
+            else:
+                # real pass on unaugmented data (train.py:425)
+                real_out, d_state1 = d_apply(
+                    d_cfg, d_params, state.d_state, data, labels, train=True, rng=k_real
+                )
+                fake_out, d_state2 = d_apply(
+                    d_cfg, d_params, d_state1, fake_aug, labels, train=True, rng=k_fake
+                )
             total, parts = d_loss(
                 step_cfg.loss,
                 real_out,

@@ -66,7 +66,7 @@ def _sample(r: random.Random) -> dict:
     s["h2"] = r.choice([8, 12])
     s["out"] = r.choice([4, 6])
     s["block"] = r.choice([8, 16])
-    s["kernel"] = r.choice(["1", "2", "3"])
+    s["kernel"] = r.choice(["1", "2", "3", "4"])
     s["select"] = r.choice(["0", "1"])
     return s
 

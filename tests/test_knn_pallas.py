@@ -197,6 +197,106 @@ def test_knn_v3_matches_v2_with_dropout(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
 
 
+def test_knn_v4_matches_v3_with_dropout(monkeypatch):
+    """The round-5 fully fused kernel (select + gather + edge MLP +
+    aggregation in one program, MPGAN_TPU_KNN_KERNEL=4) must reproduce the
+    v3 pipeline's outputs AND gradients — same search, same emitted
+    distances, same dropout ids, same backward kernel — including through
+    the distance cotangent into x (detached-selection contract). N is not a
+    multiple of 8 so the receiver sublane padding is exercised."""
+    cfg = MPLayerConfig.build(
+        8, [24, 16], [32], 8, fully_connected=False, num_knn=5,
+        pos_diffs=True, all_ef=True, clabels=2, mask_fne_np=True,
+        linear_args={"dropout_p": 0.3},
+    )
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data(b=2, n=14, seed=3)
+    rng = np.random.RandomState(9)
+    labels = jnp.asarray(rng.rand(2, 2).astype(np.float32))
+    njp = jnp.sum(mask, axis=(1, 2)) / 14
+
+    def run(version):
+        monkeypatch.setenv("MPGAN_TPU_KNN_KERNEL", version)
+
+        def f(p, xx):
+            y, _ = mp_layer_apply(
+                cfg, p, state, xx, mask=mask, labels=labels,
+                num_jet_particles=njp, train=True, rng=jax.random.PRNGKey(7),
+                use_pallas=True,
+            )
+            return jnp.sum(jnp.sin(y)), y
+
+        (loss, y), grads = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+            params, x
+        )
+        return y, grads
+
+    y3, g3 = run("3")
+    y4, g4 = run("4")
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y3), rtol=5e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g4), jax.tree.leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("gather_mode", ["pass", "concat"])
+def test_knn_v4_bench_config_shape_no_dists(monkeypatch, gather_mode):
+    """The knn-20 bench path runs pos_diffs=False (no distance column, the
+    select operating on all node features) with self_loops=True and a mask:
+    cover exactly that shape in both fused gather modes, against v3."""
+    monkeypatch.setenv("MPGAN_TPU_KNN_FUSED_GATHER", gather_mode)
+    cfg = MPLayerConfig.build(
+        8, [24, 16], [32], 8, fully_connected=False, num_knn=5,
+        pos_diffs=False, self_loops=True,
+    )
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data(b=2, n=14, seed=5)
+
+    def run(version):
+        monkeypatch.setenv("MPGAN_TPU_KNN_KERNEL", version)
+
+        def f(p, xx):
+            y, _ = mp_layer_apply(
+                cfg, p, state, xx, mask=mask, labels=None,
+                num_jet_particles=None, train=False, rng=None, use_pallas=True,
+            )
+            return jnp.sum(jnp.sin(y)), y
+
+        (loss, y), grads = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+            params, x
+        )
+        return y, grads
+
+    y3, g3 = run("3")
+    y4, g4 = run("4")
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y3), rtol=5e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g4), jax.tree.leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_knn_v4_self_loops_false(monkeypatch):
+    """self_loops=False drops the first sorted column inside the fused
+    kernel's extraction loop — verify against v3 (whose select kernel does
+    the same), unmasked."""
+    cfg = MPLayerConfig.build(
+        6, [16, 12], [16], 6, fully_connected=False, num_knn=4,
+        pos_diffs=True, self_loops=False,
+    )
+    params, state = mp_layer_init(jax.random.PRNGKey(1), cfg)
+    x, _ = _data(b=2, n=11, f=6, seed=8)
+
+    def run(version):
+        monkeypatch.setenv("MPGAN_TPU_KNN_KERNEL", version)
+        y, _ = mp_layer_apply(
+            cfg, params, state, x, mask=None, labels=None,
+            num_jet_particles=None, train=False, rng=None, use_pallas=True,
+        )
+        return y
+
+    np.testing.assert_allclose(
+        np.asarray(run("4")), np.asarray(run("3")), rtol=5e-4, atol=1e-5
+    )
+
+
 def test_knn_v3_need_wgrads_false_skips_weight_grads():
     """v3's need_wgrads hint: du1/du2m/ddists bit-identical, hidden weight
     and w_d cotangents exact zeros (mirrors the v2 contract)."""

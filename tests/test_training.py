@@ -103,6 +103,69 @@ def _fake_batch(rng, batch, n):
     return jnp.asarray(data), jnp.asarray(labels)
 
 
+def test_batched_d_step_matches_two_pass():
+    """StepConfig.batched_d (one 2B-row [real | fake] D pass) must produce
+    the same D update as the reference two-pass schedule whenever the
+    stochastic bits agree — i.e. with dropout OFF (the draws are the only
+    semantic difference; SN/BN configs are gated off by the Trainer's
+    eligibility rule). Per-row outputs of a batched pass are row-independent
+    for these nets, so the updates agree to reduction-order noise."""
+    states = {}
+    for batched in (False, True):
+        g_cfg, d_cfg = _tiny_gan(n=10, hidden=8, dropout=0.0)
+        spec = NoiseSpec((10, 8), 0.2)
+        g_opt = build_optimizer("rmsprop", 1e-4)
+        d_opt = build_optimizer("rmsprop", 3e-4)
+        state = init_train_state(
+            jax.random.PRNGKey(0), mp_generator_init, mp_discriminator_init,
+            g_cfg, d_cfg, g_opt, d_opt,
+        )
+        d_step, g_step = make_train_steps(
+            step_cfg=StepConfig(loss="ls", batched_d=batched),
+            g_apply=mp_generator_apply, d_apply=mp_discriminator_apply,
+            g_cfg=g_cfg, d_cfg=d_cfg, spec=spec, g_opt=g_opt, d_opt=d_opt,
+        )
+        data, labels = _fake_batch(np.random.RandomState(0), 8, 10)
+        for _ in range(2):
+            state, _ = jax.jit(d_step)(state, data, labels)
+            state, _ = jax.jit(g_step)(state, data, labels)
+        states[batched] = state
+
+    for a, b in zip(
+        jax.tree.leaves((states[True].g_params, states[True].d_params)),
+        jax.tree.leaves((states[False].g_params, states[False].d_params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_batched_d_step_gapt_trains():
+    """The production batched_d consumer: a GAPT D+G step (dropout 0.5, the
+    reference default) runs and updates parameters under batched_d."""
+    from mpgan_tpu.models.registry import build_suite
+    from mpgan_tpu.training.config import from_args_dict
+
+    args = from_args_dict({"model": "gapt", "model_D": "gapt", "jets": "g", "num_hits": 6})
+    suite = build_suite(args)
+    g_opt = build_optimizer("rmsprop", 1e-4)
+    d_opt = build_optimizer("rmsprop", 3e-4)
+    state = init_train_state(
+        jax.random.PRNGKey(0), suite.g_init, suite.d_init,
+        suite.g_cfg, suite.d_cfg, g_opt, d_opt,
+    )
+    d_step, g_step = make_train_steps(
+        step_cfg=StepConfig(loss=args.loss, batched_d=True),
+        g_apply=suite.g_apply, d_apply=suite.d_apply,
+        g_cfg=suite.g_cfg, d_cfg=suite.d_cfg, spec=suite.noise,
+        g_opt=g_opt, d_opt=d_opt,
+    )
+    data, labels = _fake_batch(np.random.RandomState(0), 8, 6)
+    d0 = jax.tree.leaves(state.d_params)[0].copy()
+    state, md = jax.jit(d_step)(state, data, labels)
+    state, mg = jax.jit(g_step)(state, data, labels)
+    assert np.isfinite(float(md["Dr"] if "Dr" in md else list(md.values())[0]))
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.d_params)[0]), np.asarray(d0))
+
+
 @pytest.mark.kernel
 def test_train_steps_pallas_matches_jnp():
     """Full D+G steps with the fused Pallas kernels (interpret mode on CPU)
