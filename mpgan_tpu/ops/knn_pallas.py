@@ -1656,120 +1656,275 @@ def _fused_gather_pass() -> bool:
     return os.environ.get("MPGAN_TPU_KNN_FUSED_GATHER", "pass") != "concat"
 
 
+def _v3_ids_at(jet_index, np8: int, n: int, k: int):
+    """`_v3_ids` with an explicit (traced) global jet index — used by the
+    jets-blocked fused kernel, where program_id alone is not the jet."""
+    jet_off = (jet_index * (n * k)).astype(jnp.uint32)
+    r_ids = jax.lax.broadcasted_iota(jnp.uint32, (np8, 1), 0) * np.uint32(k)
+    return jnp.concatenate([r_ids + (jet_off + np.uint32(s)) for s in range(k)], axis=0)
+
+
+def _ablate_v4() -> frozenset:
+    """TIMING-ONLY component ablation for the v4 fused kernel — corrupts
+    outputs. ``MPGAN_TPU_KNN_ABLATE`` is a comma list of probes used by
+    scripts/knn150_v4_ablation.py (PERF.md round-5 knn SOL account). Two
+    kinds, both layout- and dependency-preserving (first-cut broadcast stubs
+    measured NEGATIVE prices: Mosaic lane-broadcast relayouts cost more than
+    the small matmuls they replaced, and dependency-dropping stubs let
+    DCE eat upstream components — see the script docstring):
+
+      subtraction probes (stub must still consume its inputs):
+      distmm   replace the distance matmul with a broadcast (keying + the
+               serial extraction chain still run on unique keys)
+      extract  replace each min/eq/where pass with one compare against a
+               static key (consumes ``keyed`` so distmm isn't dead-coded;
+               per-pass one-hots stay distinct so the gathers don't CSE)
+      epi      write the un-masked tree-sum (prices the mask-mult + /k only;
+               the reduction itself is consume-all-rows mandatory)
+
+      doubling probes (marginal in-schedule cost; ~0 ⇒ fully overlapped):
+      gather2x run every per-pass sender gather twice (distinct operands so
+               the second dot doesn't CSE)
+      chain2x  run the hidden-layer MLP chain twice
+      epi2x    run the masked tree-sum epilogue twice
+
+    Never set outside the ablation script.
+    """
+    import os
+
+    v = os.environ.get("MPGAN_TPU_KNN_ABLATE", "")
+    return frozenset(x for x in v.split(",") if x)
+
+
 def _fused_kernel_v4(num_hidden, alpha, sum_agg, np8, n, k, self_loops,
-                     want_dists, gather_pass, dropout_p, *refs):
+                     want_dists, gather_pass, emit_idx, jb, dropout_p, *refs):
     base = 0
     if dropout_p > 0:
         seed_ref = refs[0]
         base = 1
-    xs_ref = refs[base]  # [1, NP8, C] receivers' select features (padded)
-    xf_ref = refs[base + 1]  # [1, N, C] senders (mask-pushed)
-    u1_ref = refs[base + 2]  # [1, NP8, H1] receiver embeddings (padded)
-    u2m_ref = refs[base + 3]  # [1, N, H1+1] sender embeddings + mask col
+    xs_ref = refs[base]  # [JB, NP8, C] receivers' select features (padded)
+    xf_ref = refs[base + 1]  # [JB, N, C] senders (mask-pushed)
+    u1_ref = refs[base + 2]  # [JB, NP8, H1] receiver embeddings (padded)
+    u2m_ref = refs[base + 3]  # [JB, N, H1+1] sender embeddings + mask col
     off = base + 4
     wd_ref = None
     if want_dists:
         wd_ref = refs[off]  # [1, H1]
         off += 1
     wb = refs[off : off + 2 * num_hidden]
-    out_ref = refs[off + 2 * num_hidden]  # [1, NP8, H_out]
-    idx_ref = refs[off + 2 * num_hidden + 1]  # [1, k*NP8, 1]
-    dists_ref = refs[off + 2 * num_hidden + 2] if want_dists else None
+    out_ref = refs[off + 2 * num_hidden]  # [JB, NP8, H_out]
+    off2 = off + 2 * num_hidden + 1
+    idx_ref = dists_ref = None
+    if emit_idx:  # training residuals; generation keeps everything in VMEM
+        idx_ref = refs[off2]  # [JB, k*NP8, 1]
+        off2 += 1
+        if want_dists:
+            dists_ref = refs[off2]
 
     seed = seed_ref[0] if dropout_p > 0 else None
     h1 = u1_ref.shape[2]
-
-    # ---- neighbour search (same math as _select_nm_kernel)
-    xs = xs_ref[0].astype(jnp.float32)  # [NP8, C]
-    xf = xf_ref[0].astype(jnp.float32)  # [N, C]
-    sq1 = jnp.sum(xs * xs, axis=-1, keepdims=True)
-    sq2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
-    a_ops = jnp.concatenate([-2.0 * xs, jnp.ones_like(sq1)], axis=-1)
-    b_ops = jnp.concatenate([xf, sq2], axis=-1)
-    d = (
-        jax.lax.dot_general(
-            a_ops, b_ops, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # see _select_kernel
-        )
-        + sq1
-    )  # [NP8, N]
     cols = jax.lax.broadcasted_iota(jnp.int32, (np8, n), 1)
     bits = max(8, (n - 1).bit_length())
-    keyed = (
-        jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
-        & jnp.int32(~((1 << bits) - 1))
-    ) | cols
     imax = jnp.int32(0x7FFFFFFF)
     start = 0 if self_loops else 1
-
-    u2m = u2m_ref[0].astype(jnp.float32)  # [N, H1+1]
-    idx_blocks, g2_blocks, dist_blocks, oh_blocks = [], [], [], []
-    for s in range(k + start):
-        m = jnp.min(keyed, axis=-1, keepdims=True)
-        if s >= start:
-            idx_blocks.append(m & jnp.int32((1 << bits) - 1))
-            # the equality mask is exactly one 1.0 per row (keys are unique:
-            # index in mantissa) — the selected neighbour's one-hot row
-            oh = (keyed == m).astype(jnp.float32)  # [NP8, N]
-            if gather_pass:
-                # gather NOW: independent of the remaining extraction
-                # passes, so the MXU pass overlaps the VPU min/where chain
-                g2_blocks.append(
-                    jax.lax.dot_general(
-                        oh, u2m, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-            else:
-                oh_blocks.append(oh)
-            if want_dists:
-                # exact reference edge distances (mpgan/model.py:304-306):
-                # gather the sender coords (HIGHEST: one nonzero term ->
-                # bit-identical to take_along_axis), then norm(x2-x1+1e-12)
-                x2g = jax.lax.dot_general(
-                    oh, xf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [NP8, C]
-                diffs = x2g - xs + 1e-12
-                dist_blocks.append(
-                    jnp.sqrt(jnp.sum(diffs * diffs, axis=-1, keepdims=True))
-                )
-        keyed = jnp.where(keyed == m, imax, keyed)
-
-    idx_ref[0] = jnp.concatenate(idx_blocks, axis=0).astype(idx_ref.dtype)
-    if want_dists:
-        dists_cat = jnp.concatenate(dist_blocks, axis=0)  # [k*NP8, 1]
-        dists_ref[0] = dists_cat.astype(dists_ref.dtype)
-
-    if gather_pass:
-        g2 = jnp.concatenate(g2_blocks, axis=0)  # [k*NP8, H1+1]
-    else:
-        onehot = jnp.concatenate(oh_blocks, axis=0)  # [k*NP8, N]
-        g2 = jax.lax.dot_general(
-            onehot, u2m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    # ---- edge MLP + aggregation (identical to _fwd_kernel_v3)
-    u1 = u1_ref[0].astype(jnp.float32)
-    g1 = jnp.concatenate([u1] * k, axis=0)
-    z1 = g1 + g2[:, :h1]
-    if want_dists:
-        z1 = z1 + dists_cat * wd_ref[:].astype(jnp.float32)
-    smask = g2[:, h1 : h1 + 1]
-
     rows = k * np8
-    ids = _v3_ids(np8, n, k) if dropout_p > 0 else None
-    a = _leaky(z1, alpha)
-    if dropout_p > 0:
-        a = a * _dropmul_ids(a.shape, dropout_p, seed, 0, ids)
-    a = _chain_ids(a, wb, num_hidden, alpha, dropout_p, seed, ids, 1, _pick_splits(rows))
-    am = a * smask
-    agg = _tree_sum_groups(am, k, np8)
-    if not sum_agg:
-        agg = agg / k
-    out_ref[0] = agg.astype(out_ref.dtype)
+    ablate = _ablate_v4()  # timing-only; empty in production
+
+    # receiver-row chunks (MPGAN_TPU_KNN_FUSED_CHUNKS knob, default 1): the
+    # extraction passes are a serial VPU chain (keyed is rewritten every
+    # pass), so a single chain leaves the MXU idle during extraction and the
+    # VPU idle during the gathers — measured: per-pass gathers time
+    # IDENTICALLY to one deferred gather (concat mode), i.e. Mosaic schedules
+    # the phases back to back. Splitting the receiver rows into two aligned
+    # chunks makes each pass two INDEPENDENT subgraphs — the dense kernel's
+    # interleaved-chain trick applied to select+gather. MEASURED-REJECTED at
+    # the bench config (B=512, 150p, k=20): 51,789 vs 52,083 jets/s — Mosaic
+    # still emits the subgraphs in program order, so the extraction is
+    # VPU-throughput-bound, not schedulable under the MXU. Kept as the
+    # runnable rejection evidence (PERF.md round 5 knn SOL account).
+    import os
+
+    try:
+        _nc = int(os.environ.get("MPGAN_TPU_KNN_FUSED_CHUNKS", "1"))
+    except ValueError:
+        _nc = 1
+    if _nc >= 2 and np8 >= 16:
+        half = ((np8 // 2 + 7) // 8) * 8  # sublane-aligned split
+        row_chunks = [(0, half), (half, np8)]
+    else:
+        row_chunks = [(0, np8)]
+
+    # jets-blocked: JB jets run as independent straight-line subgraphs in one
+    # program (MPGAN_TPU_KNN_JETS knob; measured at the bench config:
+    # jb=2 51,113 vs jb=1 52,083 jets/s — cross-jet ILP does not materialise
+    # either, same Mosaic program-order scheduling; default 1)
+    for j in range(jb):
+        # ---- neighbour search (same math as _select_nm_kernel)
+        xs = xs_ref[j].astype(jnp.float32)  # [NP8, C]
+        xf = xf_ref[j].astype(jnp.float32)  # [N, C]
+        sq2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        b_ops = jnp.concatenate([xf, sq2], axis=-1)
+        u2m = u2m_ref[j].astype(jnp.float32)  # [N, H1+1]
+        u2m2 = u2m + 1.0 if "gather2x" in ablate else None  # timing probe
+
+        keyed_c, xs_c = [], []
+        for lo, hi in row_chunks:
+            xs_i = xs[lo:hi]
+            sq1 = jnp.sum(xs_i * xs_i, axis=-1, keepdims=True)
+            if "distmm" in ablate:  # timing-only: unique keys, no matmul
+                d = jnp.broadcast_to(sq1, (hi - lo, n))
+            else:
+                a_ops = jnp.concatenate([-2.0 * xs_i, jnp.ones_like(sq1)], axis=-1)
+                d = (
+                    jax.lax.dot_general(
+                        a_ops, b_ops, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,  # see _select_kernel
+                    )
+                    + sq1
+                )  # [rows_c, N]
+            # fresh per-chunk iota (== cols[lo:hi]: the value only depends on
+            # the column) — row-slicing an iota mid-sublane-tile trips Mosaic
+            cols_i = jax.lax.broadcasted_iota(jnp.int32, (hi - lo, n), 1)
+            keyed_c.append(
+                (
+                    jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
+                    & jnp.int32(~((1 << bits) - 1))
+                )
+                | cols_i
+            )
+            xs_c.append(xs_i)
+
+        nc = len(row_chunks)
+        idx_blocks = [[] for _ in range(nc)]
+        g2_blocks = [[] for _ in range(nc)]
+        dist_blocks = [[] for _ in range(nc)]
+        oh_blocks = [[] for _ in range(nc)]
+        for s in range(k + start):
+            for ci in range(nc):
+                if "extract" in ablate:
+                    # timing-only: one compare sweep per pass against a
+                    # static key — no min-reduce, no where-rewrite, no serial
+                    # dependency. Consumes `keyed` (so the distance matmul
+                    # isn't dead-coded) and the matched column varies with s
+                    # (so the per-pass gathers don't CSE). The compare
+                    # matches where keyed's low index bits equal the pass
+                    # column — a plain one-hot in practice.
+                    m = jnp.full((keyed_c[ci].shape[0], 1), (s * 7) % n, jnp.int32)
+                    eq = (keyed_c[ci] & jnp.int32((1 << bits) - 1)) == m
+                else:
+                    m = jnp.min(keyed_c[ci], axis=-1, keepdims=True)
+                    # single equality sweep per pass: the bool feeds both the
+                    # one-hot row and the where-rewrite (the compiler may CSE
+                    # the duplicate compare; explicit costs nothing)
+                    eq = keyed_c[ci] == m
+                if s >= start:
+                    if emit_idx:
+                        idx_blocks[ci].append(m & jnp.int32((1 << bits) - 1))
+                    # the equality mask is exactly one 1.0 per row (keys are
+                    # unique: index in mantissa) — the selected one-hot row
+                    oh = eq.astype(jnp.float32)  # [rows_c, N]
+                    if gather_pass:
+                        g2s = jax.lax.dot_general(
+                            oh, u2m, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        if "gather2x" in ablate:
+                            # timing-only doubling probe: distinct second
+                            # operand (u2m2, hoisted) so the dot doesn't CSE
+                            g2s = g2s + jax.lax.dot_general(
+                                oh, u2m2, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        g2_blocks[ci].append(g2s)
+                    else:
+                        oh_blocks[ci].append(oh)
+                    if want_dists:
+                        # exact reference edge distances (mpgan/model.py:
+                        # 304-306): gather the sender coords (HIGHEST: one
+                        # nonzero term -> bit-identical to take_along_axis),
+                        # then norm(x2-x1+1e-12)
+                        x2g = jax.lax.dot_general(
+                            oh, xf, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # [rows_c, C]
+                        diffs = x2g - xs_c[ci] + 1e-12
+                        dist_blocks[ci].append(
+                            jnp.sqrt(jnp.sum(diffs * diffs, axis=-1, keepdims=True))
+                        )
+                if "extract" not in ablate:
+                    keyed_c[ci] = jnp.where(eq, imax, keyed_c[ci])
+
+        # reassemble neighbour-major [k*NP8, ...] rows: for each pass s the
+        # row chunks concatenate back to the full receiver block
+        def _cat(blocks):
+            return jnp.concatenate(
+                [blocks[ci][s] for s in range(k) for ci in range(nc)], axis=0
+            )
+
+        if emit_idx:
+            # training residual only: generation skips the [k*NP8, 1] column
+            # concat + write (each [*, 1] block occupies a full 128-lane tile
+            # in VMEM; priced by scripts/knn150_sol_ablation.py)
+            idx_ref[j] = _cat(idx_blocks).astype(idx_ref.dtype)
+        dists_cat = None
+        if want_dists:
+            dists_cat = _cat(dist_blocks)  # [k*NP8, 1]
+            if dists_ref is not None:
+                dists_ref[j] = dists_cat.astype(dists_ref.dtype)
+
+        if gather_pass or "gather" in ablate:
+            g2 = _cat(g2_blocks)  # [k*NP8, H1+1]
+        else:
+            g2 = jax.lax.dot_general(
+                _cat(oh_blocks), u2m, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # ---- edge MLP + aggregation (identical to _fwd_kernel_v3)
+        u1 = u1_ref[j].astype(jnp.float32)
+        g1 = jnp.concatenate([u1] * k, axis=0)
+        z1 = g1 + g2[:, :h1]
+        if want_dists:
+            z1 = z1 + dists_cat * wd_ref[:].astype(jnp.float32)
+        smask = g2[:, h1 : h1 + 1]
+
+        ids = None
+        if dropout_p > 0:
+            # the global jet index keys the dropout hash, so masks equal the
+            # per-jet (jb=1) and v3-backward replays for the same jet
+            ids = _v3_ids_at(pl.program_id(0) * jb + j, np8, n, k)
+        a0 = _leaky(z1, alpha)
+        if dropout_p > 0:
+            a0 = a0 * _dropmul_ids(a0.shape, dropout_p, seed, 0, ids)
+        a = _chain_ids(
+            a0, wb, num_hidden, alpha, dropout_p, seed, ids, 1, _pick_splits(rows)
+        )
+        if "chain2x" in ablate:
+            # timing-only doubling probe: second chain on a perturbed input
+            # (no CSE), summed so every row is consumed
+            a = a + _chain_ids(
+                a0 * 1.0001, wb, num_hidden, alpha, dropout_p, seed, ids, 1,
+                _pick_splits(rows),
+            )
+
+        def _epilogue(rows_in):
+            am = rows_in * smask
+            agg = _tree_sum_groups(am, k, np8)
+            if not sum_agg:
+                agg = agg / k
+            return agg
+
+        if "epi" in ablate:
+            # timing-only: un-masked tree-sum (consumes every row — the
+            # reduction is mandatory; prices only the mask-mult + /k)
+            out_ref[j] = _tree_sum_groups(a, k, np8).astype(out_ref.dtype)
+        elif "epi2x" in ablate:
+            # timing-only doubling probe
+            out_ref[j] = (_epilogue(a) + _epilogue(a * 1.0001)).astype(out_ref.dtype)
+        else:
+            out_ref[j] = _epilogue(a).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
@@ -1799,7 +1954,7 @@ def knn_fused_layer(xs, xf, u1, u2m, w_d, weights_flat, seed_v, k, self_loops,
 
 
 def _fused_impl_v4(xs, xf, u1, u2m, w_d, weights, seed, *, k, self_loops,
-                   want_dists, alpha, sum_agg, dropout_p):
+                   want_dists, alpha, sum_agg, dropout_p, emit_idx=False):
     b_sz, n, c = xs.shape
     h1 = u1.shape[-1]
     if k + (0 if self_loops else 1) > n:
@@ -1815,14 +1970,24 @@ def _fused_impl_v4(xs, xf, u1, u2m, w_d, weights, seed, *, k, self_loops,
     else:
         xs_p, u1_p = xs, u1
 
+    import os
+
+    jb = 1
+    try:
+        jb = max(1, int(os.environ.get("MPGAN_TPU_KNN_JETS", "1")))
+    except ValueError:
+        pass
+    while jb > 1 and b_sz % jb != 0:
+        jb //= 2
+
     in_specs = []
     if dropout_p > 0:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     in_specs += [
-        pl.BlockSpec((1, np8, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # xs
-        pl.BlockSpec((1, n, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # xf
-        pl.BlockSpec((1, np8, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # u1
-        pl.BlockSpec((1, n, h1 + 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # u2m
+        pl.BlockSpec((jb, np8, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # xs
+        pl.BlockSpec((jb, n, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # xf
+        pl.BlockSpec((jb, np8, h1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # u1
+        pl.BlockSpec((jb, n, h1 + 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),  # u2m
     ]
     args = []
     if dropout_p > 0:
@@ -1836,27 +2001,28 @@ def _fused_impl_v4(xs, xf, u1, u2m, w_d, weights, seed, *, k, self_loops,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.extend([w, bias])
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((b_sz, np8, h_out), u1.dtype),
-        jax.ShapeDtypeStruct((b_sz, k * np8, 1), jnp.int32),
-    ]
+    out_shapes = [jax.ShapeDtypeStruct((b_sz, np8, h_out), u1.dtype)]
     out_specs = [
-        pl.BlockSpec((1, np8, h_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((jb, np8, h_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
-    if want_dists:
-        out_shapes.append(jax.ShapeDtypeStruct((b_sz, k * np8, 1), jnp.float32))
+    if emit_idx:
+        out_shapes.append(jax.ShapeDtypeStruct((b_sz, k * np8, 1), jnp.int32))
         out_specs.append(
-            pl.BlockSpec((1, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((jb, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         )
+        if want_dists:
+            out_shapes.append(jax.ShapeDtypeStruct((b_sz, k * np8, 1), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((jb, k * np8, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            )
 
     kernel = functools.partial(
         _fused_kernel_v4, len(weights), alpha, sum_agg, np8, n, k, self_loops,
-        want_dists, _fused_gather_pass(), dropout_p,
+        want_dists, _fused_gather_pass(), emit_idx, jb, dropout_p,
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(b_sz,),
+        grid=(b_sz // jb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -1864,8 +2030,8 @@ def _fused_impl_v4(xs, xf, u1, u2m, w_d, weights, seed, *, k, self_loops,
         interpret=_interpret(),
     )(*args)
     agg = outs[0][:, :n] if np8 > n else outs[0]
-    idx_t = outs[1]
-    dists_t = outs[2] if want_dists else None
+    idx_t = outs[1] if emit_idx else None
+    dists_t = outs[2] if (emit_idx and want_dists) else None
     return agg, idx_t, dists_t
 
 
@@ -1874,7 +2040,7 @@ def _fused_vjp_fwd(xs, xf, u1, u2m, w_d, weights_flat, seed_v, k, self_loops,
     agg, idx_t, dists_t = _fused_impl_v4(
         xs, xf, u1, u2m, w_d, _weights_list(weights_flat), seed_v,
         k=k, self_loops=self_loops, want_dists=want_dists, alpha=alpha,
-        sum_agg=sum_agg, dropout_p=dropout_p,
+        sum_agg=sum_agg, dropout_p=dropout_p, emit_idx=True,
     )
     return agg, (xs, xf, u1, u2m, idx_t, dists_t, w_d, weights_flat, seed_v)
 

@@ -273,6 +273,44 @@ def test_knn_v4_bench_config_shape_no_dists(monkeypatch, gather_mode):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
 
 
+def test_knn_v4_jets_blocking_invariant(monkeypatch):
+    """MPGAN_TPU_KNN_JETS blocks several jets into one fused program; with
+    dropout ON the per-jet hash ids must key on the GLOBAL jet index
+    (knn_pallas._v3_ids_at), so outputs and gradients are identical across
+    block sizes."""
+    cfg = MPLayerConfig.build(
+        8, [24, 16], [32], 8, fully_connected=False, num_knn=5,
+        pos_diffs=True, all_ef=True, linear_args={"dropout_p": 0.3},
+    )
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data(b=4, n=14, seed=3)
+    monkeypatch.setenv("MPGAN_TPU_KNN_KERNEL", "4")
+
+    def run(jets):
+        monkeypatch.setenv("MPGAN_TPU_KNN_JETS", jets)
+
+        def f(p, xx):
+            y, _ = mp_layer_apply(
+                cfg, p, state, xx, mask=mask, labels=None,
+                num_jet_particles=None, train=True, rng=jax.random.PRNGKey(7),
+                use_pallas=True,
+            )
+            return jnp.sum(jnp.sin(y)), y
+
+        (loss, y), grads = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+            params, x
+        )
+        return y, grads
+
+    y1, g1 = run("1")
+    y2, g2 = run("2")
+    y4, g4 = run("4")
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y1), rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_knn_v4_self_loops_false(monkeypatch):
     """self_loops=False drops the first sorted column inside the fused
     kernel's extraction loop — verify against v3 (whose select kernel does
