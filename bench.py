@@ -268,13 +268,10 @@ def bench_train_step_gapt(num_particles: int, batch: int) -> float:
         suite.g_cfg, suite.d_cfg, g_opt, d_opt,
     )
     d_step, g_step = make_train_steps(
-        # batched_d mirrors the Trainer's eligibility rule (loop.py): GAPT's
-        # default D has no batch/spectral norm, so the D step runs ONE
-        # 2B-row [real | fake] pass — the production path this line measures
-        step_cfg=StepConfig(
-            loss=args.loss,
-            batched_d=not args.batch_norm_disc and not args.spectral_norm_disc,
-        ),
+        # two-pass D, the production path (loop.py): the batched 2B-row
+        # [real | fake] pass was measured-rejected on hardware (4.707 ms
+        # two-pass vs 5.008 ms batched; scripts/gapt_train_ablation.py)
+        step_cfg=StepConfig(loss=args.loss),
         g_apply=suite.g_apply, d_apply=suite.d_apply,
         g_cfg=suite.g_cfg, d_cfg=suite.d_cfg, spec=suite.noise,
         g_opt=g_opt, d_opt=d_opt,

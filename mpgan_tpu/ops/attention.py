@@ -20,7 +20,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from .linear import MLPConfig, mlp_apply, mlp_init
+from .linear import MLPConfig, hash_dropout, mlp_apply, mlp_init
 
 _LN_EPS = 1e-5
 
@@ -238,8 +238,9 @@ def _dropout(x, p, train, rng):
     if p > 0 and train:
         if rng is None:
             raise ValueError("dropout in train mode needs an rng")
-        keep = 1.0 - p
-        return jnp.where(jax.random.bernoulli(rng, keep, x.shape), x / keep, 0.0)
+        # hash_dropout, not bernoulli: threefry mask draws were 33% of the
+        # GAPT train step (scripts/gapt_train_ablation.py; see linear.py)
+        return hash_dropout(x, p, rng)
     return x
 
 

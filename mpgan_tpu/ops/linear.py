@@ -28,11 +28,47 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .spectral_norm import spectral_normalize
 
 _BN_EPS = 1e-5
 _BN_MOMENTUM = 0.1
+
+
+def hash_dropout(x: jax.Array, p: float, rng: jax.Array) -> jax.Array:
+    """Torch-semantics dropout (keep w.p. ``1-p``, scale by ``1/(1-p)``) from
+    the outer-sum hash instead of ``jax.random.bernoulli``.
+
+    threefry-2x32 costs ~25 VPU ops per 32-bit word; on dropout-heavy XLA
+    paths the mask draws dominate (measured: dropout = 1.546 ms of GAPT's
+    4.707 ms train step, scripts/gapt_train_ablation.py). This is the same
+    hash the Pallas kernels use in-kernel (mp_pallas._dropmul: rank-1 row
+    and column keys, broadcast outer sum, 3-op finisher — statistical
+    contract in tests/test_mp_pallas.py::test_dropout_hash_quality), keyed
+    on the raw key words, so a given ``rng`` still yields one fixed mask
+    (replay/determinism semantics identical to bernoulli; the stream
+    differs, which is free — the reference's torch streams were never
+    reproduced here either, mpgan/model.py:83).
+    """
+    keep = 1.0 - p
+    kd = rng
+    if jnp.issubdtype(kd.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(kd)
+    kd = jnp.ravel(kd).astype(jnp.uint32)
+    seed = kd[0] * np.uint32(0xC2B2AE3D) + kd[-1] * np.uint32(0x27D4EB2F)
+    cols = x.shape[-1]
+    rows_n = x.size // cols
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (rows_n, 1), 0)
+    rkey = rows * np.uint32(0x9E3779B1) + seed
+    ckey = jax.lax.broadcasted_iota(jnp.uint32, (1, cols), 1) * np.uint32(0x85EBCA77)
+    h = rkey + ckey
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> 15)
+    threshold = np.uint32(min(int(p * 2**32), 2**32 - 1))
+    mult = jnp.where(h >= threshold, np.float32(1.0 / keep), np.float32(0.0))
+    return x * mult.reshape(x.shape).astype(x.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,8 +244,6 @@ def mlp_apply(
 
         # dropout after every layer, incl. final linear (mpgan/model.py:83)
         if cfg.dropout_p > 0 and train:
-            keep = 1.0 - cfg.dropout_p
-            mask = jax.random.bernoulli(drop_keys[i], keep, x.shape)
-            x = jnp.where(mask, x / keep, 0.0)
+            x = hash_dropout(x, cfg.dropout_p, drop_keys[i])
 
     return x, new_state

@@ -129,15 +129,15 @@ class Trainer:
             # --compute-dtype bfloat16: opt-in mixed-precision training
             # (f32 master weights, bf16 applies — see StepConfig.bf16)
             bf16=args.get("compute_dtype", "float32") == "bfloat16",
-            # one 2B-row D pass over [real | fake] where legal (see
-            # StepConfig.batched_d): GAPT's launch-bound train step wins
-            # ~the serial D-chain halving; gated off by batch/spectral norm
-            # (batch-stat mixing / power-iteration advance count)
-            batched_d=(
-                args.model_D == "gapt"
-                and not args.batch_norm_disc
-                and not args.spectral_norm_disc
-            ),
+            # one 2B-row D pass over [real | fake] (StepConfig.batched_d):
+            # built as the round-5 attack on GAPT's launch-bound train step,
+            # MEASURED-REJECTED on hardware — 4.707 ms two-pass vs 5.008 ms
+            # batched at the B=512 bench config (scripts/
+            # gapt_train_ablation.py; the 2B-row attention pass costs more
+            # than the saved dispatches). Stays opt-in via StepConfig for
+            # the ablation + tests; production keeps two passes, like the
+            # reference (train.py:425-447).
+            batched_d=False,
         )
         if mesh is None and args.get("mesh_shape"):
             mesh = make_mesh(int(args.mesh_shape))  # CLI passes a string

@@ -72,7 +72,11 @@ class StepConfig:
     # instead of twice). Dropout draws change stream (one rng covers the
     # 2B rows) — statistically identical, not replayable against the
     # two-pass schedule. Halves the serial D-chain launch count: built for
-    # GAPT, whose train step is launch-bound (PERF.md round 4).
+    # GAPT, whose train step is launch-bound (PERF.md round 4). MEASURED-
+    # REJECTED as the production default (round 5): 4.707 ms two-pass vs
+    # 5.008 ms batched at the GAPT B=512 bench config — the doubled-row
+    # attention pass costs more than the saved dispatches (scripts/
+    # gapt_train_ablation.py). Kept opt-in as runnable rejection evidence.
     batched_d: bool = False
 
 

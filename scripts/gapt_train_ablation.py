@@ -7,10 +7,13 @@ jets/s, floor 1.64x) and claimed the wall is per-step serial structure (14
 attention/FF launches x 2 nets x 2 steps of mostly-VPU work) — an argument,
 not a measurement. This script prices the step's components on hardware:
 
-  full_twopass     — the round-4 production step (D real/fake as 2 passes)
-  full_batched     — ONE 2B-row [real | fake] D pass (StepConfig.batched_d,
-                     the round-5 production path; legal: GAPT D has no
-                     batch/spectral norm, only the dropout draw stream moves)
+  full_twopass     — the production step (D real/fake as 2 passes)
+  full_batched     — ONE 2B-row [real | fake] D pass (StepConfig.batched_d;
+                     legal: GAPT D has no batch/spectral norm, only the
+                     dropout draw stream moves). Built as the round-5
+                     structural attack, measured-REJECTED: 5.008 ms vs
+                     4.707 two-pass — the doubled-row attention pass costs
+                     more than the saved dispatches.
   d_only_twopass   — D update alone, two-pass
   d_only_batched   — D update alone, batched
   g_only           — G update alone
@@ -94,7 +97,12 @@ def timed(name, step_fn):
             return step_fn(st, data, labels)
 
         st = jax.lax.fori_loop(0, n_iters, body, state)
-        return jnp.sum(jax.tree.leaves(st.g_params)[0])
+        # readback must depend on BOTH nets' params: a g-only sum lets XLA
+        # dead-code-eliminate a d-only step entirely (measured 0.3 ms for a
+        # "D update" before this fix)
+        return jnp.sum(jax.tree.leaves(st.g_params)[0]) + jnp.sum(
+            jax.tree.leaves(st.d_params)[0]
+        )
 
     # state must be built before jit closes over shapes
     ms = None
@@ -111,7 +119,7 @@ def main():
     global run_state_init
     results = {}
 
-    for name, batched, sab, drop, which in [
+    variants = [
         ("full_twopass", False, 2, None, "both"),
         ("full_batched", True, 2, None, "both"),
         ("d_only_twopass", False, 2, None, "d"),
@@ -119,7 +127,15 @@ def main():
         ("g_only", True, 2, None, "g"),
         ("nodropout", True, 2, 0.0, "both"),
         ("sab1", True, 1, None, "both"),
-    ]:
+        # two-pass family (the production step after the batched-D
+        # measured-rejection): same component prices without the concat
+        ("nodropout_tp", False, 2, 0.0, "both"),
+        ("sab1_tp", False, 1, None, "both"),
+    ]
+    only = set(sys.argv[1:])  # rerun selected variants (tunnel-spike retries)
+    for name, batched, sab, drop, which in variants:
+        if only and name not in only:
+            continue
         suite, state, d_step, g_step = _build(batched, sab_layers=sab, dropout=drop)
         run_state_init = state
         if which == "both":
@@ -137,6 +153,8 @@ def main():
                 return st
         results[name] = timed(name, step)
 
+    if only and "fwd_only" not in only:
+        return
     # forwards-only price (no autodiff, no optimizer): 3 forwards of the
     # D step (D real, G fwd eval, D fake) at the production widths
     suite, state, _, _ = _build(True)
