@@ -239,3 +239,44 @@ def test_dropout_hash_quality():
     # exactly r rows (the blocking-mode consistency contract)
     k_off = keepmask(0.5, 99, 1, offset=16)
     np.testing.assert_array_equal(k[16:], k_off[:-16])
+
+
+@pytest.mark.parametrize("n", [30, 150])
+def test_fuse_fn_generator_parity(n, monkeypatch):
+    """The eval-path fn-fused edge kernel (VERDICT r4 item 3; default ON in
+    jets-mode, MPGAN_TPU_FUSE_FN forces) matches the unfused path in both
+    kernel modes (jets-mode n=30, receiver-mode n=150)."""
+    args = from_args_dict({"model": "mpgan", "jets": "g", "num_hits": n})
+    from mpgan_tpu.models.registry import build_suite
+
+    suite = build_suite(args)
+    gp, gs = suite.g_init(jax.random.PRNGKey(0), suite.g_cfg)
+    noise, _ = suite.noise.sample(jax.random.PRNGKey(1), 4)
+    labels = jnp.full((4, 1), 0.5)
+
+    monkeypatch.setenv("MPGAN_TPU_FUSE_FN", "0")
+    y0, _ = suite.g_apply(suite.g_cfg, gp, gs, noise, labels)
+    monkeypatch.setenv("MPGAN_TPU_FUSE_FN", "1")
+    y1, _ = suite.g_apply(suite.g_cfg, gp, gs, noise, labels)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-6)
+
+
+def test_fuse_fn_train_mode_unaffected(monkeypatch):
+    """The fusion is eval-only: train-mode layers keep the custom-VJP edge
+    kernel (differentiable), even with the env flag set."""
+    cfg = MPLayerConfig.build(8, [24, 16], [32], 8)
+    from mpgan_tpu.ops.mp import mp_layer_init
+
+    params, state = mp_layer_init(jax.random.PRNGKey(0), cfg)
+    x, mask = _data()
+    monkeypatch.setenv("MPGAN_TPU_FUSE_FN", "1")
+
+    def loss(p):
+        y, _ = mp_layer_apply(
+            cfg, p, state, x, mask=mask, train=True, rng=jax.random.PRNGKey(3),
+            use_pallas=True,
+        )
+        return jnp.sum(y * y)
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
