@@ -300,6 +300,96 @@ def bench_train_step_gapt(num_particles: int, batch: int) -> float:
     return best / ITERS * 1e3
 
 
+def bench_eval(
+    num_particles: int,
+    num_knn: int | None,
+    batch: int,
+    with_fpd: bool,
+    seed: int,
+    n_eval: int | None = None,
+) -> dict:
+    """One full in-training eval pass (VERDICT r4 item 6): the loop the
+    reference runs every ``save_epochs`` (train.py:686-809) — generate 50k
+    jets via the cached scanned sampler (train.py:226-282), unnormalize +
+    gen_jet_corrections, W1-P/W1-M/W1-EFP (train.py:543-606) and, at 30p,
+    the d<=4-all EFP basis + FPD best-epoch criterion (train.py:794-809).
+    150p follows the reference in computing no FPND/FPD
+    (setup_training.py:796-799). Returns ``{component: seconds}``; call
+    twice with different seeds for cold (includes jit) vs warm (the
+    steady-state per-eval cost from the second eval of a run onward).
+
+    Gen-side corrections use ``zero_neg_pt=True``: random-init weights emit
+    negative-pT particles whose EFPs overflow into the f64 fallback the
+    Trainer reserves for unphysical early-training jets; the reference
+    clamps pT >= 0 at generation too (gen.py:139), and steady-state eval —
+    what this prices — does not hit the fallback."""
+    from mpgan_tpu.data.jetnet import JetNetDataset, gen_jet_corrections
+    from mpgan_tpu.evaluation import efps, fpd, w1efp, w1m, w1p
+    from mpgan_tpu.models.registry import build_suite
+    from mpgan_tpu.training.config import from_args_dict
+    from mpgan_tpu.training.sampling import generate_multi_batch
+
+    if n_eval is None:
+        n_eval = 512 if SMOKE else 50_000
+    num_w1 = min(10_000, n_eval)
+
+    over = {"model": "mpgan", "jets": "g", "num_hits": num_particles}
+    if num_knn is not None:
+        over.update({"fully_connected": False, "num_knn": num_knn})
+    if jax.default_backend() == "cpu":
+        # CPU smoke exercises the eval protocol (sampler, corrections, W1,
+        # EFP, FPD), not the kernels — interpret-mode Pallas at 150p would
+        # take hours for a meaningless number
+        over["use_pallas"] = False
+    args = from_args_dict(over)
+    suite = build_suite(args)
+    ds = JetNetDataset(
+        jet_type="g", num_particles=num_particles, split="all",
+        synthetic=True, synthetic_num_jets=n_eval,
+    )
+    g_params, g_state = suite.g_init(jax.random.PRNGKey(0), suite.g_cfg)
+    times = {}
+
+    t0 = time.perf_counter()
+    gen_norm = np.asarray(
+        generate_multi_batch(
+            suite.g_apply, suite.g_cfg, g_params, g_state, suite.noise,
+            jax.random.PRNGKey(seed), n_eval, batch, labels=ds.jet_data[:n_eval],
+        )
+    )
+    times["gen"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    real_jets, _ = gen_jet_corrections(
+        ds.particle_normalisation(ds.particle_data[:n_eval], inverse=True),
+        zero_mask_particles=False, zero_neg_pt=False,
+    )
+    gen_jets, _ = gen_jet_corrections(
+        ds.particle_normalisation(gen_norm, inverse=True),
+        zero_mask_particles=True, zero_neg_pt=True,
+    )
+    times["unnorm"] = time.perf_counter() - t0
+
+    num_batches = max(n_eval // num_w1, 1)
+    for name, fn in (("w1p", w1p), ("w1m", w1m), ("w1efp", w1efp)):
+        t0 = time.perf_counter()
+        fn(real_jets, gen_jets, num_eval_samples=num_w1, num_batches=num_batches)
+        times[name] = time.perf_counter() - t0
+
+    if with_fpd:
+        t0 = time.perf_counter()
+        real_efps = efps(real_jets, select="d<=4-all")
+        gen_efps = efps(gen_jets, select="d<=4-all")
+        times["efp_both"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fpd(real_jets, gen_jets, real_efps=real_efps, gen_efps=gen_efps,
+            min_samples=min(5000, n_eval), max_samples=20000)
+        times["fpd"] = time.perf_counter() - t0
+
+    times["total"] = sum(times.values())
+    return times
+
+
 # Defended train-step baseline scaling: one LSGAN train step (num_critic =
 # num_gen = 1, the reference defaults) costs, in forward-equivalents with
 # backward ~ 2x forward and D ~ G per-jet cost (both are mp_iters=2 MP nets):
@@ -422,6 +512,14 @@ def main() -> None:
         else:
             os.environ["MPGAN_TPU_KNN_KERNEL"] = prev_kk
 
+    # in-training eval wall time (VERDICT r4 item 6): cold includes the
+    # once-per-run jit of the scanned sampler + the EFP bases; warm is the
+    # steady-state cost a training run pays from its second eval onward
+    eval30_cold = bench_eval(p30, None, b256, True, seed=1)
+    eval30_warm = bench_eval(p30, None, b256, True, seed=2)
+    eval150_cold = bench_eval(p150, knn20, b128, False, seed=1)
+    eval150_warm = bench_eval(p150, knn20, b128, False, seed=2)
+
     # GAPT A100 baseline (the papers publish no GAPT timing): scale the
     # measured A100 MPGAN 30p number by the exact FLOP-model ratio. GAPT has
     # ~31x fewer FLOPs than MPGAN at 30p, so this assumes the A100 sustains
@@ -532,6 +630,22 @@ def main() -> None:
             "vs_baseline_train_30p_gapt": round(
                 train_30_jets_gapt / (baseline_gapt_30p / TRAIN_STEP_FWD_EQUIV), 2
             ),
+            # 50k-jet in-training eval wall seconds (VERDICT r4 item 6;
+            # reference protocol train.py:686-809 — 30p: full W1 set + the
+            # d<=4-all EFP basis + FPD; 150p knn-20: W1 set, no FPND/FPD,
+            # setup_training.py:796-799). _cold includes once-per-run jit.
+            "eval_wall_s_30p": round(eval30_warm["total"], 2),
+            "eval_wall_s_30p_cold": round(eval30_cold["total"], 2),
+            "eval_wall_s_150p_knn20": round(eval150_warm["total"], 2),
+            "eval_wall_s_150p_knn20_cold": round(eval150_cold["total"], 2),
+            "eval_gen_s_30p": round(eval30_warm["gen"], 2),
+            "eval_w1_s_30p": round(
+                eval30_warm["w1p"] + eval30_warm["w1m"] + eval30_warm["w1efp"], 2
+            ),
+            "eval_efp_fpd_s_30p": round(
+                eval30_warm["efp_both"] + eval30_warm["fpd"], 2
+            ),
+            "eval_gen_s_150p_knn20": round(eval150_warm["gen"], 2),
             "device": str(jax.devices()[0]),
         },
     }

@@ -128,6 +128,34 @@ def _einsum_spec(graph: Graph) -> str:
     return ",".join(ops) + "->z"
 
 
+@lru_cache(maxsize=None)
+def _jax_efp_fn(graphs: tuple, beta: float, normed: bool):
+    """Jitted EFP evaluator, cached per basis: a fresh ``@jit`` closure per
+    ``efps()`` call made EVERY call recompile (~15 s over the remote compile
+    tunnel — the round-5 eval bench measured w1efp at 31 s *warm* because
+    its two ``efps`` calls each re-traced). One compile per
+    (basis, beta, normed, chunk-shape) for the process lifetime."""
+    import jax.numpy as xp
+    from jax import jit
+
+    specs = [_einsum_spec(g) for g in graphs]
+
+    @jit
+    def _compute(chunk):
+        eta, phi, pt = chunk[..., 0], chunk[..., 1], chunk[..., 2]
+        z = pt / xp.maximum(xp.sum(pt, axis=1, keepdims=True), 1e-30) if normed else pt
+        deta = eta[:, :, None] - eta[:, None, :]
+        dphi = phi[:, :, None] - phi[:, None, :]
+        theta = (deta**2 + dphi**2) ** (beta / 2.0)
+        outs = []
+        for g, spec in zip(graphs, specs):
+            ops = [theta] * len(g) + [z] * len({v for e in g for v in e})
+            outs.append(xp.einsum(spec, *ops))
+        return xp.stack(outs, axis=1)
+
+    return _compute
+
+
 def efps(
     jets: np.ndarray,
     select: str = "d<=4",
@@ -156,22 +184,7 @@ def efps(
             pass
         use_jax = jets.shape[0] * jets.shape[1] ** 2 > threshold
     if use_jax:
-        import jax.numpy as xp
-        from jax import jit
-
-        @jit
-        def _compute(chunk):
-            eta, phi, pt = chunk[..., 0], chunk[..., 1], chunk[..., 2]
-            z = pt / xp.maximum(xp.sum(pt, axis=1, keepdims=True), 1e-30) if normed else pt
-            deta = eta[:, :, None] - eta[:, None, :]
-            dphi = phi[:, :, None] - phi[:, None, :]
-            theta = (deta**2 + dphi**2) ** (beta / 2.0)
-            outs = []
-            for g, spec in zip(graphs, specs):
-                ops = [theta] * len(g) + [z] * len({v for e in g for v in e})
-                outs.append(xp.einsum(spec, *ops))
-            return xp.stack(outs, axis=1)
-
+        _compute = _jax_efp_fn(graphs, beta, normed)
     else:
 
         def _compute(chunk):
@@ -188,10 +201,18 @@ def efps(
             return np.stack(outs, axis=1)
 
     jets = np.asarray(jets, dtype=np.float64 if not use_jax else np.float32)
-    chunks = [
-        np.asarray(_compute(jets[i : i + batch_size]))
-        for i in range(0, jets.shape[0], batch_size)
-    ]
+    chunks = []
+    for i in range(0, jets.shape[0], batch_size):
+        chunk = jets[i : i + batch_size]
+        rows = chunk.shape[0]
+        if use_jax and rows < batch_size and jets.shape[0] > batch_size:
+            # pad the ragged tail chunk to the steady shape: a second
+            # compile for the remainder costs more than the wasted rows
+            # (zero-padded jets produce z=0 -> EFP 0, sliced off below)
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch_size - rows, *chunk.shape[1:]), chunk.dtype)]
+            )
+        chunks.append(np.asarray(_compute(chunk))[:rows])
     vals = np.concatenate(chunks, axis=0).astype(np.float64)
     if select == "d<=4-all":
         comps = [
