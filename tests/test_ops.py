@@ -161,3 +161,33 @@ def test_knn_delta_coords_rejected_loudly():
             mp_layer_apply(
                 cfg, params, state, x, labels=labels, use_pallas=use_pallas
             )
+
+
+def test_hash_dropout_semantics():
+    """linear.hash_dropout (the XLA-path replacement for bernoulli dropout,
+    round 5: the threefry draws were 33% of the GAPT train step) keeps the
+    torch dropout contract: keep w.p. 1-p with 1/(1-p) scaling,
+    deterministic per rng key, distinct across keys, grads flow through
+    kept elements only."""
+    from mpgan_tpu.ops.linear import hash_dropout
+
+    x = jnp.ones((512, 30, 64))
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    y1 = hash_dropout(x, 0.5, k1)
+    # keep rate at p=0.5 within 0.5% on ~1M elements
+    assert abs(float((y1 > 0).mean()) - 0.5) < 5e-3
+    # kept elements scaled by exactly 1/keep
+    np.testing.assert_allclose(float(y1.max()), 2.0, rtol=1e-6)
+    assert set(np.unique(np.asarray(y1))) <= {0.0, 2.0}
+    # same key -> identical mask; different key -> ~independent mask
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(hash_dropout(x, 0.5, k1)))
+    diff = float((np.sign(np.asarray(y1)) != np.sign(np.asarray(hash_dropout(x, 0.5, k2)))).mean())
+    assert abs(diff - 0.5) < 5e-3
+    # gradient is the mask itself (zero where dropped, 1/keep where kept)
+    g = np.asarray(jax.grad(lambda z: jnp.sum(hash_dropout(z, 0.3, k1)))(x))
+    assert np.all((g == 0.0) | (np.abs(g - 1 / 0.7) < 1e-5))
+    # p=0 edge: identity via the mlp path contract (hash_dropout never
+    # called at p=0, but guard the direct call anyway)
+    np.testing.assert_array_equal(
+        np.asarray(hash_dropout(x, 0.0, k1)), np.asarray(x)
+    )
