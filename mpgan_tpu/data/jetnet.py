@@ -208,7 +208,10 @@ def gen_jet_corrections(
         mask = jets[:, :, -1] >= 0.5
         jets = jets[:, :, :-1]
         if zero_mask_particles:
-            jets[~mask] = 0
+            # broadcast multiply, not boolean fancy assignment: ~22M masked
+            # rows at the 150p 50k-jet eval made jets[~mask] = 0 a
+            # multi-second index build on one core
+            jets *= mask[:, :, None].astype(jets.dtype)
     if zero_neg_pt:
         jets[:, :, 2] = np.maximum(jets[:, :, 2], 0)
     return (jets, mask) if ret_mask_separate else jets
