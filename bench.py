@@ -646,6 +646,9 @@ def main() -> None:
                 eval30_warm["efp_both"] + eval30_warm["fpd"], 2
             ),
             "eval_gen_s_150p_knn20": round(eval150_warm["gen"], 2),
+            "eval_w1p_s_150p_knn20": round(eval150_warm["w1p"], 2),
+            "eval_w1m_s_150p_knn20": round(eval150_warm["w1m"], 2),
+            "eval_w1efp_s_150p_knn20": round(eval150_warm["w1efp"], 2),
             "device": str(jax.devices()[0]),
         },
     }
